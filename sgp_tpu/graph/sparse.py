@@ -1,0 +1,265 @@
+"""Host-side sparse graph representation and graph algorithms.
+
+TPU-native replacement for the reference's torch_sparse / PyG graph plumbing
+(``lib/sgp_preprocessing.py:67-160``, ``tsl/ops/connectivity.py``, PyG
+``k_hop_subgraph`` / ``to_undirected`` / ``dropout_adj``). Everything here is
+**host-side numpy/scipy** — graphs are preprocessed once on the host; device
+compute consumes either a dense operator (MXU path) or packed block-sparse
+tensors (Pallas path), built by :meth:`Graph.to_dense` /
+:meth:`Graph.to_bsr`.
+
+Conventions
+-----------
+Edges are stored COO as ``(src, dst, weight)``. The propagation operator is
+the (normalized) adjacency ``A[dst, src] = w`` so that ``x' = A @ x``
+aggregates *source* features into each *target* node — matching the
+reference's ``preprocess_adj`` which builds ``SparseTensor(row=target,
+col=source)`` from an edge_index (``lib/sgp_preprocessing.py:78-82``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+
+@dataclasses.dataclass(frozen=True)
+class Graph:
+    """An immutable weighted directed graph on ``num_nodes`` nodes.
+
+    Attributes:
+        src: ``[E]`` int32 source node of each edge.
+        dst: ``[E]`` int32 target node of each edge.
+        weight: ``[E]`` float32 edge weight.
+        num_nodes: number of nodes ``N``.
+    """
+    src: np.ndarray
+    dst: np.ndarray
+    weight: np.ndarray
+    num_nodes: int
+
+    def __post_init__(self):
+        object.__setattr__(self, "src", np.asarray(self.src, np.int32))
+        object.__setattr__(self, "dst", np.asarray(self.dst, np.int32))
+        w = (np.ones(len(self.src), np.float32) if self.weight is None
+             else np.asarray(self.weight, np.float32))
+        object.__setattr__(self, "weight", w)
+        if len(self.src) != len(self.dst) or len(self.src) != len(w):
+            raise ValueError("src/dst/weight length mismatch")
+
+    # -- constructors ------------------------------------------------------
+    @classmethod
+    def from_edge_index(cls, edge_index: np.ndarray,
+                        edge_weight: Optional[np.ndarray] = None,
+                        num_nodes: Optional[int] = None) -> "Graph":
+        """Build from a PyG-style ``[2, E]`` edge_index (row0=src, row1=dst)."""
+        edge_index = np.asarray(edge_index)
+        if num_nodes is None:
+            num_nodes = int(edge_index.max()) + 1 if edge_index.size else 0
+        return cls(edge_index[0], edge_index[1], edge_weight, num_nodes)
+
+    @classmethod
+    def from_dense(cls, adj: np.ndarray) -> "Graph":
+        """Build from a dense ``A[dst, src]`` matrix (zeros = no edge)."""
+        dst, src = np.nonzero(adj)
+        return cls(src, dst, adj[dst, src].astype(np.float32), adj.shape[0])
+
+    # -- basic properties --------------------------------------------------
+    @property
+    def num_edges(self) -> int:
+        return int(len(self.src))
+
+    @property
+    def edge_index(self) -> np.ndarray:
+        return np.stack([self.src, self.dst]).astype(np.int64)
+
+    def to_scipy(self) -> sp.csr_matrix:
+        """CSR matrix of the operator ``A[dst, src] = w``."""
+        return sp.csr_matrix(
+            (self.weight, (self.dst, self.src)),
+            shape=(self.num_nodes, self.num_nodes))
+
+    @classmethod
+    def from_scipy(cls, mat: sp.spmatrix) -> "Graph":
+        coo = mat.tocoo()
+        return cls(coo.col, coo.row, coo.data.astype(np.float32),
+                   mat.shape[0])
+
+    def to_dense(self, dtype=np.float32) -> np.ndarray:
+        """Dense operator ``A[dst, src]`` — the MXU propagation path."""
+        return np.asarray(self.to_scipy().todense(), dtype=dtype)
+
+    def to_bsr(self, block: int = 128):
+        """Pack into block-sparse-row format for the Pallas SpMM kernel.
+
+        Returns ``(blocks, block_cols, row_ptr)`` where ``blocks`` is
+        ``[nnzb, block, block]`` dense sub-tiles of the (zero-padded)
+        operator, ``block_cols[nnzb]`` the block-column index of each tile
+        and ``row_ptr[N/block + 1]`` CSR-style offsets over block rows.
+        """
+        n_pad = ((self.num_nodes + block - 1) // block) * block
+        mat = self.to_scipy()
+        mat.resize((n_pad, n_pad))
+        bsr = mat.tobsr(blocksize=(block, block))
+        bsr.sort_indices()
+        return (np.asarray(bsr.data, np.float32),
+                np.asarray(bsr.indices, np.int32),
+                np.asarray(bsr.indptr, np.int32))
+
+    # -- views -------------------------------------------------------------
+    def with_weight(self, weight: np.ndarray) -> "Graph":
+        return Graph(self.src, self.dst, weight, self.num_nodes)
+
+
+# ---------------------------------------------------------------------------
+# graph algorithms (all host-side, operate on / return Graph)
+# ---------------------------------------------------------------------------
+
+def coalesce(g: Graph, reduce: str = "sum") -> Graph:
+    """Sort edges by (dst, src) and merge duplicates."""
+    key = g.dst.astype(np.int64) * g.num_nodes + g.src
+    order = np.argsort(key, kind="stable")
+    key, src, dst, w = key[order], g.src[order], g.dst[order], g.weight[order]
+    uniq, first = np.unique(key, return_index=True)
+    if len(uniq) == len(key):
+        return Graph(src, dst, w, g.num_nodes)
+    seg = np.searchsorted(uniq, key)
+    if reduce == "sum":
+        wm = np.zeros(len(uniq), np.float32)
+        np.add.at(wm, seg, w)
+    elif reduce == "max":
+        wm = np.full(len(uniq), -np.inf, np.float32)
+        np.maximum.at(wm, seg, w)
+    else:
+        raise ValueError(reduce)
+    return Graph(src[first], dst[first], wm, g.num_nodes)
+
+
+def transpose(g: Graph) -> Graph:
+    """Reverse all edges (operator transpose)."""
+    return Graph(g.dst, g.src, g.weight, g.num_nodes)
+
+
+def to_undirected(g: Graph, reduce: str = "sum") -> Graph:
+    """Symmetrize: ``A + A^T`` with duplicate merge.
+
+    Matches the reference's ``adj + adj.t()`` in ``sgp_spatial_support``
+    (``lib/sgp_preprocessing.py:124-125``); the ``sgp_spatial_embedding``
+    path uses PyG ``to_undirected`` which *sums* duplicate weights too.
+    """
+    return coalesce(Graph(
+        np.concatenate([g.src, g.dst]),
+        np.concatenate([g.dst, g.src]),
+        np.concatenate([g.weight, g.weight]),
+        g.num_nodes), reduce=reduce)
+
+
+def add_self_loops(g: Graph, fill_value: float = 1.0) -> Graph:
+    """Set the diagonal to ``fill_value`` (torch_sparse ``set_diag``)."""
+    loop = np.arange(g.num_nodes, dtype=np.int32)
+    keep = g.src != g.dst
+    return coalesce(Graph(
+        np.concatenate([g.src[keep], loop]),
+        np.concatenate([g.dst[keep], loop]),
+        np.concatenate([g.weight[keep],
+                        np.full(g.num_nodes, fill_value, np.float32)]),
+        g.num_nodes))
+
+
+def remove_self_loops(g: Graph) -> Graph:
+    keep = g.src != g.dst
+    return Graph(g.src[keep], g.dst[keep], g.weight[keep], g.num_nodes)
+
+
+def weighted_degree(g: Graph, direction: str = "in") -> np.ndarray:
+    """Weighted degree. ``in`` sums over incoming edges (by dst) — the
+    row-sum of the operator — matching ``tsl/ops/connectivity.py:175-197``."""
+    index = g.dst if direction == "in" else g.src
+    deg = np.zeros(g.num_nodes, np.float32)
+    np.add.at(deg, index, g.weight)
+    return deg
+
+
+def normalize_adj(g: Graph, norm: str = "row",
+                  add_loops: bool = False,
+                  remove_loops: bool = False) -> Graph:
+    """Normalize the propagation operator.
+
+    ``row``: ``D_in^-1 A`` (reference ``preprocess_adj``,
+    ``lib/sgp_preprocessing.py:100-103``); ``sym``: ``D^-1/2 A D^-1/2``
+    (``:94-98``); ``none``: pass-through. Zero-degree rows get 0 (inf→0).
+    """
+    if add_loops:
+        g = add_self_loops(g)
+    elif remove_loops:
+        g = remove_self_loops(g)
+    if norm == "none":
+        return g
+    deg = weighted_degree(g, "in")
+    if norm == "row":
+        inv = np.where(deg > 0, 1.0 / np.maximum(deg, 1e-38), 0.0)
+        return g.with_weight(g.weight * inv[g.dst])
+    if norm == "sym":
+        inv_sqrt = np.where(deg > 0, deg.astype(np.float64) ** -0.5, 0.0)
+        return g.with_weight(
+            (g.weight * inv_sqrt[g.dst] * inv_sqrt[g.src]).astype(np.float32))
+    raise ValueError(f"unknown norm {norm!r}")
+
+
+def spgemm(a: Graph, b: Graph) -> Graph:
+    """Sparse-sparse matmul of two operators (support materialization,
+    replaces torch_sparse ``adj @ adj`` in ``lib/sgp_preprocessing.py:145``).
+    """
+    return Graph.from_scipy(a.to_scipy() @ b.to_scipy())
+
+
+def edge_dropout(g: Graph, p: float, rng: np.random.Generator) -> Graph:
+    """Drop each edge independently with prob ``p`` (PyG ``dropout_adj``
+    semantics as used in ``lib/sgp_preprocessing.py:177`` — no rescaling)."""
+    if p <= 0:
+        return g
+    keep = rng.random(g.num_edges) >= p
+    return Graph(g.src[keep], g.dst[keep], g.weight[keep], g.num_nodes)
+
+
+def k_hop_subgraph(g: Graph, roots: np.ndarray, k: int,
+                   flow: str = "target_to_source"
+                   ) -> Tuple[np.ndarray, Graph, np.ndarray]:
+    """K-hop neighborhood expansion (replaces PyG ``k_hop_subgraph`` as used
+    by ``lib/dataloader/subgraph_dataloader.py:159-167``).
+
+    With ``flow='target_to_source'`` the frontier expands from targets to
+    their *sources* (the nodes whose features flow into the roots).
+
+    Returns ``(nodes, sub, root_positions)``: the sorted node set (roots
+    first is NOT guaranteed — use root_positions), the induced subgraph with
+    relabeled node ids, and positions of the roots inside ``nodes``.
+    """
+    roots = np.asarray(roots, np.int64)
+    mask = np.zeros(g.num_nodes, bool)
+    mask[roots] = True
+    frontier = roots
+    # CSC-by-target for fast "who feeds node t" lookups
+    mat = sp.csr_matrix(
+        (np.ones(g.num_edges, np.int8), (g.dst, g.src)),
+        shape=(g.num_nodes, g.num_nodes))
+    for _ in range(k):
+        if flow == "target_to_source":
+            nxt = mat[frontier].indices
+        else:
+            nxt = mat.T.tocsr()[frontier].indices
+        nxt = np.unique(nxt)
+        new = nxt[~mask[nxt]]
+        if len(new) == 0:
+            break
+        mask[new] = True
+        frontier = new
+    nodes = np.nonzero(mask)[0]
+    relabel = np.full(g.num_nodes, -1, np.int64)
+    relabel[nodes] = np.arange(len(nodes))
+    e_keep = mask[g.src] & mask[g.dst]
+    sub = Graph(relabel[g.src[e_keep]], relabel[g.dst[e_keep]],
+                g.weight[e_keep], len(nodes))
+    return nodes, sub, relabel[roots]

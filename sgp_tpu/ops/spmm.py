@@ -1,0 +1,202 @@
+"""Device-side sparse matrix × dense matrix products (the propagation op).
+
+TPU-native replacement for torch_sparse's ``SparseTensor @ x``
+(``lib/sgp_preprocessing.py:200-203``, ``lib/nn/reservoir/
+graph_reservoir.py:82-83``, ``tsl/nn/layers/graph_convs/diff_conv.py``).
+
+Three interchangeable operator representations, all jit-compatible pytrees:
+
+- :class:`DenseOperator` — the operator materialized dense ``[N, N]``;
+  ``x' = A @ x`` is a single MXU matmul. On TPU this is the fastest path for
+  every benchmark graph in the reference (N <= 6,435; density 1.5-15%):
+  the MXU turns the "sparse" problem into a dense one at speed-of-light.
+- :class:`BSROperator` — 128x128 block-sparse rows + a Pallas kernel that
+  skips zero blocks (``sgp_tpu/ops/bsr_kernel.py``); wins once the graph is
+  large AND block-sparse (big diagonal-ish graphs).
+- :class:`COOOperator` — gather + ``segment_sum``; the XLA fallback and
+  correctness oracle, and the only O(E) path for extremely sparse graphs.
+
+``build_operator`` picks a representation from graph size/density.
+"""
+from __future__ import annotations
+
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgp_tpu.graph.sparse import Graph
+
+
+@jax.tree_util.register_pytree_node_class
+class DenseOperator:
+    """Dense ``A[dst, src]``; propagation is one MXU matmul.
+
+    ``precision`` controls the MXU pass count for float32 inputs:
+    ``'highest'`` (default) gives full f32 accuracy for parity with the
+    reference's fp32 SpMM; ``'default'`` lets the MXU run bf16 passes
+    (~3x faster) — fine for training, not for activation-allclose checks.
+    """
+
+    def __init__(self, mat: jnp.ndarray, precision: str = "highest"):
+        self.mat = mat
+        self.precision = precision
+
+    @property
+    def num_nodes(self) -> int:
+        return self.mat.shape[0]
+
+    def __matmul__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # x: [..., N, F] -> contract over N
+        return jnp.einsum("ij,...jf->...if", self.mat, x,
+                          precision=self.precision,
+                          preferred_element_type=jnp.float32
+                          ).astype(x.dtype)
+
+    def transpose(self) -> "DenseOperator":
+        return DenseOperator(self.mat.T, self.precision)
+
+    def tree_flatten(self):
+        return (self.mat,), self.precision
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux)
+
+
+@jax.tree_util.register_pytree_node_class
+class COOOperator:
+    """COO gather/segment-sum: ``out[d] += w_e * x[s_e]``."""
+
+    def __init__(self, src, dst, weight, num_nodes: int):
+        self.src = src
+        self.dst = dst
+        self.weight = weight
+        self._num_nodes = int(num_nodes)
+
+    @property
+    def num_nodes(self) -> int:
+        return self._num_nodes
+
+    def __matmul__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if x.ndim == 2:  # [N, F]
+            msgs = x[self.src] * self.weight[:, None]
+            return jax.ops.segment_sum(msgs, self.dst,
+                                       num_segments=self._num_nodes)
+        # [..., N, F]: flatten leading dims, vmap the 2-D case
+        lead = x.shape[:-2]
+        flat = x.reshape((-1,) + x.shape[-2:])
+        out = jax.vmap(lambda xi: self @ xi)(flat)
+        return out.reshape(lead + out.shape[-2:])
+
+    def transpose(self) -> "COOOperator":
+        return COOOperator(self.dst, self.src, self.weight, self._num_nodes)
+
+    def tree_flatten(self):
+        return (self.src, self.dst, self.weight), self._num_nodes
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], children[2], aux)
+
+
+@jax.tree_util.register_pytree_node_class
+class BSROperator:
+    """128x128 block-sparse operator consumed by the Pallas SpMM kernel."""
+
+    BLOCK = 128
+
+    def __init__(self, blocks, block_cols, row_ptr, num_nodes: int):
+        self.blocks = blocks          # [nnzb, B, B]
+        self.block_cols = block_cols  # [nnzb]
+        self.row_ptr = row_ptr        # [n_block_rows + 1]
+        self._num_nodes = int(num_nodes)
+
+    @property
+    def num_nodes(self) -> int:
+        return self._num_nodes
+
+    def __matmul__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from sgp_tpu.ops.bsr_kernel import bsr_spmm
+        if x.ndim == 2:
+            return bsr_spmm(self.blocks, self.block_cols, self.row_ptr,
+                            x, self._num_nodes)
+        lead = x.shape[:-2]
+        flat = x.reshape((-1,) + x.shape[-2:])
+        out = jax.vmap(lambda xi: bsr_spmm(
+            self.blocks, self.block_cols, self.row_ptr, xi,
+            self._num_nodes))(flat)
+        return out.reshape(lead + out.shape[-2:])
+
+    def tree_flatten(self):
+        return (self.blocks, self.block_cols, self.row_ptr), self._num_nodes
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], children[2], aux)
+
+
+@jax.tree_util.register_pytree_node_class
+class GlobalMeanOperator:
+    """The dense ``1/N`` matrix of the reference's ``global_attr`` support
+    (``lib/sgp_preprocessing.py:155-158``) — i.e. broadcast mean over nodes.
+    Implemented as an O(N·F) reduction instead of an O(N²·F) matmul."""
+
+    def __init__(self, num_nodes: int):
+        self._num_nodes = int(num_nodes)
+
+    @property
+    def num_nodes(self) -> int:
+        return self._num_nodes
+
+    def __matmul__(self, x: jnp.ndarray) -> jnp.ndarray:
+        mean = jnp.mean(x, axis=-2, keepdims=True)
+        return jnp.broadcast_to(mean, x.shape)
+
+    def transpose(self) -> "GlobalMeanOperator":
+        return self
+
+    def tree_flatten(self):
+        return (), self._num_nodes
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux)
+
+
+Operator = Union[DenseOperator, COOOperator, BSROperator, GlobalMeanOperator]
+
+
+def build_operator(g: Graph, mode: str = "auto", dtype=jnp.float32,
+                   precision: str = "highest") -> Operator:
+    """Lift a host :class:`Graph` into a device propagation operator.
+
+    ``auto`` heuristic: dense for graphs that comfortably fit HBM as an
+    ``[N, N]`` tile (the MXU path — fastest for every reference benchmark),
+    BSR when large but block-structured, COO otherwise.
+    """
+    if mode == "auto":
+        dense_bytes = g.num_nodes * g.num_nodes * np.dtype(np.float32).itemsize
+        if dense_bytes <= 512 * 1024 * 1024:  # <= 512 MB dense operator
+            mode = "dense"
+        else:
+            blocks, cols, ptr = g.to_bsr(BSROperator.BLOCK)
+            block_density = len(cols) / max(
+                1, (ptr.shape[0] - 1) ** 2)
+            mode = "bsr" if block_density < 0.5 else "coo"
+    if mode == "dense":
+        return DenseOperator(jnp.asarray(g.to_dense(), dtype), precision)
+    if mode == "bsr":
+        blocks, cols, ptr = g.to_bsr(BSROperator.BLOCK)
+        return BSROperator(jnp.asarray(blocks, dtype), jnp.asarray(cols),
+                           jnp.asarray(ptr), g.num_nodes)
+    if mode == "coo":
+        return COOOperator(jnp.asarray(g.src), jnp.asarray(g.dst),
+                           jnp.asarray(g.weight, dtype), g.num_nodes)
+    raise ValueError(f"unknown operator mode {mode!r}")
+
+
+def spmm(op: Operator, x: jnp.ndarray) -> jnp.ndarray:
+    """``x' = A @ x`` for any operator representation."""
+    return op @ x
