@@ -1,0 +1,57 @@
+"""CER-En Irish smart-meter energy dataset (6,435 meters, 30-min).
+
+Local-file loader mirroring ``lib/datasets/cer_en.py:36-167``: a
+pre-built ``cer_en.h5`` (the reference builds it from the six CER zip
+archives; data requires a license request, so only the built file is
+consumed here). Similarity by weekly-window correntropy or
+seasonally-debiased pearson.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from sgp_tpu.data.datasets.base import TabularDataset
+from sgp_tpu.graph.similarities import _rbf_kernel
+
+AGG_SCALE = 1000
+
+
+class CEREn(TabularDataset):
+    similarity_options = {"correntropy", "pearson"}
+
+    def load(self):
+        import pandas as pd
+        path = os.path.join(self.root, "cer_en.h5")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"CEREn: expected {path}; the CER dataset is "
+                "license-gated — provide the built file or use "
+                "SyntheticDiffusion.")
+        df = pd.read_hdf(path)
+        df = df.asfreq("30min")
+        values = df.values.astype(np.float32)
+        self.mask = (~np.isnan(values))[..., None]
+        self.target = np.nan_to_num(values)[..., None]
+        self.index = np.asarray(df.index.values, "datetime64[ns]")
+
+    def compute_similarity(self, method: str, gamma: float = 0.05,
+                           train_slice: Optional[np.ndarray] = None,
+                           **kwargs) -> np.ndarray:
+        x = self.target[..., 0] * self.mask[..., 0]
+        if train_slice is not None:
+            x = self.target[train_slice, :, 0]
+        if method == "pearson":
+            return np.corrcoef(x, rowvar=False)
+        if method == "correntropy":
+            xs = (x - x.mean()) / x.std()
+            step = self.index[1] - self.index[0]
+            period = int(np.timedelta64(7, "D") / step)
+            sim = np.zeros((x.shape[1], x.shape[1]), np.float32)
+            chunks = range(period, len(xs), period)
+            for i in chunks:
+                sim += _rbf_kernel(xs[i - period:i].T, gamma=gamma)
+            return sim / max(len(chunks), 1)
+        raise NotImplementedError(method)

@@ -1,0 +1,159 @@
+"""Train/val/test splitters over window items.
+
+Re-derivation of ``tsl/data/datamodule/splitters.py`` for the array-based
+dataset: a split is three arrays of *item* indices (positions into
+``dataset.indices()``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from datetime import datetime
+from typing import Optional, Tuple, Union
+
+import numpy as np
+
+from sgp_tpu.data.spatiotemporal import SpatioTemporalDataset
+
+TsLike = Union[Tuple, datetime, np.datetime64, str, None]
+
+
+@dataclasses.dataclass
+class Split:
+    train: np.ndarray
+    val: np.ndarray
+    test: np.ndarray
+
+    def __repr__(self):
+        return (f"Split(train={len(self.train)}, val={len(self.val)}, "
+                f"test={len(self.test)})")
+
+
+class Splitter:
+    def split(self, dataset: SpatioTemporalDataset) -> Split:
+        raise NotImplementedError
+
+
+class TemporalSplitter(Splitter):
+    """Tail split by length/fraction (``splitters.py:184-208``): test is
+    the last ``test_len`` items, val precedes it, and the train tail is
+    trimmed by ``samples_offset`` so train windows don't overlap val."""
+
+    def __init__(self, val_len: float = 0.1, test_len: float = 0.2):
+        self.val_len = val_len
+        self.test_len = test_len
+
+    def split(self, dataset) -> Split:
+        idx = np.arange(len(dataset))
+        val_len, test_len = self.val_len, self.test_len
+        if test_len < 1:
+            test_len = int(test_len * len(idx))
+        if val_len < 1:
+            val_len = int(val_len * (len(idx) - test_len))
+        test_start = len(idx) - int(test_len)
+        val_start = test_start - int(val_len)
+        w = dataset.windowing
+        offset = -(-w.sample_span // w.stride)  # ceil
+        return Split(idx[:max(val_start - offset, 0)],
+                     idx[val_start:max(test_start - offset, 0)],
+                     idx[test_start:])
+
+
+def _to_datetime64(ts: TsLike) -> Optional[np.datetime64]:
+    if ts is None:
+        return None
+    if isinstance(ts, np.datetime64):
+        return ts
+    if isinstance(ts, datetime):
+        return np.datetime64(ts)
+    if isinstance(ts, (tuple, list)):
+        return np.datetime64(datetime(*ts))
+    return np.datetime64(ts)
+
+
+def indices_between(dataset: SpatioTemporalDataset,
+                    first_ts: TsLike = None,
+                    last_ts: TsLike = None) -> np.ndarray:
+    """Items whose *horizon* lies in ``[first_ts, last_ts]``
+    (``splitters.py:251-274``): locate the timestamp range in the index,
+    shift back by ``horizon_offset``, select window-start indices in
+    range."""
+    assert dataset.index is not None, "needs a datetime index"
+    index = dataset.index
+    first = _to_datetime64(first_ts)
+    last = _to_datetime64(last_ts)
+    first_loc = 0 if first is None else int(np.searchsorted(index, first,
+                                                            side="left"))
+    # pandas slice_locs includes the endpoint
+    last_loc = len(index) if last is None else int(
+        np.searchsorted(index, last, side="right"))
+    w = dataset.windowing
+    first_sample = first_loc - w.horizon_offset
+    last_sample = last_loc - w.horizon_offset - 1
+    starts = dataset.indices()
+    keep = (starts >= first_sample) & (starts < last_sample)
+    return np.nonzero(keep)[0]
+
+
+class AtTimeStepSplitter(Splitter):
+    """Datetime-boundary split (``splitters.py:211-245``) — the splitter
+    used by every traffic experiment. With ``drop_following_steps`` val
+    items after the first test item are dropped and train is everything
+    strictly before the first test item."""
+
+    def __init__(self, first_val_ts: TsLike = None,
+                 first_test_ts: TsLike = None,
+                 last_val_ts: TsLike = None,
+                 last_test_ts: TsLike = None,
+                 drop_following_steps: bool = True):
+        self.first_val_ts = first_val_ts
+        self.first_test_ts = first_test_ts
+        self.last_val_ts = last_val_ts
+        self.last_test_ts = last_test_ts
+        self.drop_following_steps = drop_following_steps
+
+    def split(self, dataset) -> Split:
+        test_idx = indices_between(dataset, self.first_test_ts,
+                                   self.last_test_ts)
+        val_idx = indices_between(dataset, self.first_val_ts,
+                                  self.last_val_ts)
+        if self.drop_following_steps and len(test_idx):
+            val_idx = val_idx[val_idx < test_idx.min()]
+            # NOTE reference quirk kept for parity: train is *every* item
+            # before the first test item — it overlaps the val items
+            # (``splitters.py:238-239``; no disjointing in the base class).
+            train_idx = np.arange(test_idx.min())
+        else:
+            val_idx = np.setdiff1d(val_idx, test_idx)
+            train_idx = np.setdiff1d(np.arange(len(dataset)), test_idx)
+            train_idx = np.setdiff1d(train_idx, val_idx)
+        return Split(train_idx, val_idx, test_idx)
+
+
+class FixedIndicesSplitter(Splitter):
+    def __init__(self, train, val, test):
+        self._split = Split(np.asarray(train), np.asarray(val),
+                            np.asarray(test))
+
+    def split(self, dataset) -> Split:
+        return self._split
+
+
+def datetime_encoded(index: np.ndarray, units) -> np.ndarray:
+    """Sin/cos encodings of timestamp phase within each unit
+    (``tsl/datasets/prototypes/mixin.py:97-115``). Returns
+    ``[T, 2 * len(units)]`` float32 (sin, cos per unit)."""
+    if isinstance(units, str):
+        units = [units]
+    nanos = {
+        "day": 24 * 3600 * 10**9, "hour": 3600 * 10**9,
+        "minute": 60 * 10**9, "second": 10**9,
+        "week": 7 * 24 * 3600 * 10**9,
+        "year": int(365.2425 * 24 * 3600 * 10**9),
+    }
+    idx_nano = np.asarray(index, "datetime64[ns]").astype(np.int64)
+    cols = []
+    for unit in units:
+        phase = idx_nano * (2 * np.pi / nanos[unit])
+        cols.append(np.sin(phase))
+        cols.append(np.cos(phase))
+    return np.stack(cols, axis=-1).astype(np.float32)
