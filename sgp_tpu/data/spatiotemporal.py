@@ -24,9 +24,24 @@ from sgp_tpu.data.windowing import Windowing
 from sgp_tpu.graph.sparse import Graph
 
 
+def _is_device(arr) -> bool:
+    import jax
+    return isinstance(arr, jax.Array)
+
+
+def _xp(*arrays):
+    """numpy or jax.numpy depending on residency. Device-resident
+    covariates (e.g. the encoded features) must never round-trip to the
+    host — the remote-TPU link is orders of magnitude slower than HBM."""
+    if any(_is_device(a) for a in arrays if a is not None):
+        import jax.numpy as jnp
+        return jnp
+    return np
+
+
 @dataclasses.dataclass
 class Covariate:
-    value: np.ndarray
+    value: "np.ndarray"  # np.ndarray or jax.Array (device-resident)
     pattern: str  # 't n c', 't c', 'n c'
 
 
@@ -118,7 +133,8 @@ class SpatioTemporalDataset:
     # -- covariates --------------------------------------------------------
     def add_covariate(self, name: str, value: np.ndarray,
                       pattern: Optional[str] = None):
-        value = np.asarray(value)
+        if not _is_device(value):
+            value = np.asarray(value)
         if pattern is None:
             if value.ndim == 3:
                 pattern = "t n c"
@@ -132,8 +148,9 @@ class SpatioTemporalDataset:
                 f"{name}: time dim {value.shape[0]} != {self.n_steps}"
         if pattern == "t n c":
             assert value.shape[1] == self.n_nodes
-        self.covariates[name] = Covariate(
-            value.astype(np.float32, copy=False), pattern)
+        if not _is_device(value):
+            value = value.astype(np.float32, copy=False)
+        self.covariates[name] = Covariate(value, pattern)
 
     # -- scaling -----------------------------------------------------------
     def fit_scaler(self, scaler: Scaler,
@@ -182,20 +199,34 @@ class SpatioTemporalDataset:
         for k in self.input_keys:
             arr, pattern = self._key_array(k)
             if pattern == "t c":
-                arr = np.broadcast_to(arr[:, None, :],
-                                      (arr.shape[0], self.n_nodes,
-                                       arr.shape[-1]))
+                arr = _xp(arr).broadcast_to(
+                    arr[:, None, :],
+                    (arr.shape[0], self.n_nodes, arr.shape[-1]))
             parts.append(arr)
-        return np.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+        if len(parts) == 1:
+            return parts[0]
+        return _xp(*parts).concatenate(parts, axis=-1)
 
     def exog_array(self) -> Optional[np.ndarray]:
-        """Global exogenous ``u [T, F]`` (or node-level ``[T, N, F]``)."""
-        parts = [self.covariates[k] for k in self.exog_keys
-                 if k in self.covariates]
+        """Exogenous ``u``: ``[T, F]`` if all parts are global, else
+        node-level ``[T, N, F]`` (parts broadcast as needed). May include
+        ``target_scaled`` — the post-encoding ``keep_raw`` rewiring makes
+        the scaled raw series the exogenous input (``lib/utils.py:40-46``).
+        """
+        parts = [self._key_array(k) for k in self.exog_keys
+                 if k in self.covariates
+                 or k in ("target", "target_scaled")]
         if not parts:
             return None
-        vals = [c.value for c in parts]
-        return np.concatenate(vals, axis=-1) if len(vals) > 1 else vals[0]
+        if any(p == "t n c" for _, p in parts):
+            vals = [arr if p == "t n c" else _xp(arr).broadcast_to(
+                arr[:, None, :], (arr.shape[0], self.n_nodes, arr.shape[-1]))
+                for arr, p in parts]
+        else:
+            vals = [arr for arr, _ in parts]
+        if len(vals) == 1:
+            return vals[0]
+        return _xp(*vals).concatenate(vals, axis=-1)
 
     # -- batch gather ------------------------------------------------------
     def gather_batch(self, item_idx: np.ndarray,

@@ -1,0 +1,150 @@
+"""Training-free encoder pipelines.
+
+Counterparts of ``lib/nn/encoders/*`` with a uniform functional
+interface: ``encoder(x [T, N, F], graph) -> [T, N, D]``.
+
+- :class:`SGPEncoder` — reservoir over time, then K-hop propagation over
+  space, optional global-mean channel (``sgp_encoder.py:45-51`` +
+  ``sgp_spatial_encoder.py:22-35``).
+- :class:`SGPTemporalEncoder` — reservoir only (ablation ``time``).
+- :class:`SGPSpatialEncoder` — propagation only (ablation ``space``).
+- :class:`GESNEncoder` — graph echo-state network
+  (``dyn_gesn_encoder.py:34-44``: self-loops + row normalization).
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from sgp_tpu.encode.graph_reservoir import GraphESN
+from sgp_tpu.encode.reservoir import Reservoir
+from sgp_tpu.encode.spatial import sgp_spatial_embedding
+from sgp_tpu.graph.sparse import Graph, add_self_loops, normalize_adj
+from sgp_tpu.ops.spmm import build_operator
+
+
+class SGPSpatialEncoder:
+    def __init__(self, receptive_field: int = 1, bidirectional: bool = False,
+                 undirected: bool = False, global_attr: bool = False,
+                 add_self_loops: bool = False,
+                 operator_mode: str = "auto"):
+        self.receptive_field = receptive_field
+        self.bidirectional = bidirectional
+        self.undirected = undirected
+        self.global_attr = global_attr
+        self.add_self_loops = add_self_loops
+        self.operator_mode = operator_mode
+
+    def output_size(self, input_size: int) -> int:
+        order = 1 + (2 if self.bidirectional else 1) * self.receptive_field
+        order += 1 if self.global_attr else 0
+        return order * input_size
+
+    def __call__(self, x: jnp.ndarray, graph: Graph) -> jnp.ndarray:
+        out: List[jnp.ndarray] = sgp_spatial_embedding(
+            x, graph, k=self.receptive_field,
+            undirected=self.undirected,
+            add_loops=self.add_self_loops,
+            bidirectional=self.bidirectional,
+            operator_mode=self.operator_mode)
+        if self.global_attr:
+            g = jnp.broadcast_to(x.mean(-2, keepdims=True), x.shape)
+            out.append(g)
+        return jnp.concatenate(out, axis=-1)
+
+
+class SGPTemporalEncoder:
+    def __init__(self, input_size: int, reservoir_size: int = 32,
+                 reservoir_layers: int = 1, leaking_rate: float = 0.9,
+                 spectral_radius: float = 0.9, density: float = 0.7,
+                 input_scaling: float = 1.0, alpha_decay: bool = False,
+                 reservoir_activation: str = "tanh", seed: int = 0):
+        self.reservoir = Reservoir(
+            input_size=input_size, hidden_size=reservoir_size,
+            input_scaling=input_scaling, num_layers=reservoir_layers,
+            leaking_rate=leaking_rate, spectral_radius=spectral_radius,
+            density=density, activation=reservoir_activation,
+            alpha_decay=alpha_decay, seed=seed)
+
+    @property
+    def output_size(self) -> int:
+        return self.reservoir.output_size
+
+    def __call__(self, x: jnp.ndarray,
+                 graph: Optional[Graph] = None) -> jnp.ndarray:
+        return self.reservoir(x)
+
+
+class SGPEncoder:
+    """Reservoir -> K-hop spatial propagation (the full SGP encoder)."""
+
+    def __init__(self, input_size: int, reservoir_size: int = 32,
+                 reservoir_layers: int = 1, leaking_rate: float = 0.9,
+                 spectral_radius: float = 0.9, density: float = 0.7,
+                 input_scaling: float = 1.0, receptive_field: int = 1,
+                 bidirectional: bool = False, alpha_decay: bool = False,
+                 global_attr: bool = False, add_self_loops: bool = False,
+                 undirected: bool = False,
+                 reservoir_activation: str = "tanh", seed: int = 0,
+                 operator_mode: str = "auto"):
+        self.reservoir = Reservoir(
+            input_size=input_size, hidden_size=reservoir_size,
+            input_scaling=input_scaling, num_layers=reservoir_layers,
+            leaking_rate=leaking_rate, spectral_radius=spectral_radius,
+            density=density, activation=reservoir_activation,
+            alpha_decay=alpha_decay, seed=seed)
+        self.spatial = SGPSpatialEncoder(
+            receptive_field=receptive_field, bidirectional=bidirectional,
+            undirected=undirected, global_attr=global_attr,
+            add_self_loops=add_self_loops, operator_mode=operator_mode)
+
+    @property
+    def output_size(self) -> int:
+        return self.spatial.output_size(self.reservoir.output_size)
+
+    def __call__(self, x: jnp.ndarray, graph: Graph,
+                 time_chunk: Optional[int] = None) -> jnp.ndarray:
+        """Encode ``x [T, N, F]``; ``time_chunk`` streams the spatial
+        stage in chunks of steps (memory control for large T*N*D)."""
+        h = self.reservoir(x)  # [T, N, L*H]
+        if time_chunk is None:
+            return self.spatial(h, graph)
+        outs = []
+        for s in range(0, h.shape[0], time_chunk):
+            outs.append(np.asarray(self.spatial(h[s:s + time_chunk], graph)))
+        return np.concatenate(outs, axis=0)
+
+
+class GESNEncoder:
+    """DynGESN: self-loops + row-normalized operator + GraphESN scan."""
+
+    def __init__(self, input_size: int, reservoir_size: int = 32,
+                 reservoir_layers: int = 1, leaking_rate: float = 0.9,
+                 spectral_radius: float = 0.9, density: float = 0.9,
+                 input_scaling: float = 1.0, alpha_decay: bool = False,
+                 reservoir_activation: str = "tanh", seed: int = 0,
+                 operator_mode: str = "auto"):
+        self.gesn = GraphESN(
+            input_size=input_size, hidden_size=reservoir_size,
+            input_scaling=input_scaling, num_layers=reservoir_layers,
+            leaking_rate=leaking_rate, spectral_radius=spectral_radius,
+            density=density, activation=reservoir_activation,
+            alpha_decay=alpha_decay, seed=seed)
+        self.operator_mode = operator_mode
+
+    @property
+    def output_size(self) -> int:
+        return self.gesn.output_size
+
+    def __call__(self, x: jnp.ndarray, graph: Graph) -> jnp.ndarray:
+        g = normalize_adj(add_self_loops(graph), "row")
+        op = build_operator(g, self.operator_mode)
+        return self.gesn(x, op)
+
+
+def get_encoder_class(name: str):
+    """Encoder registry (``run_traffic_sgp.py:63-74``)."""
+    return {"sgp": SGPEncoder, "time": SGPTemporalEncoder,
+            "space": SGPSpatialEncoder, "gesn": GESNEncoder}[name]

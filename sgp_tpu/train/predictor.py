@@ -1,0 +1,226 @@
+"""Training engine: jitted train/eval steps + fit loop.
+
+Counterpart of the reference's Lightning ``Predictor``
+(``tsl/predictors/base_predictor.py:12-320``) re-built around JAX:
+one jitted, donated train step (forward, masked loss, grad-clip, Adam,
+MultiStep LR), metric accumulation on device, best-checkpoint tracking
+and early stopping on a monitored metric.
+
+Loss semantics (``base_predictor.py:243-265``): with
+``scale_target=False`` (default) the model output is inverse-transformed
+and the loss computed in the raw data space; with ``scale_target=True``
+the loss is computed in scaled space. Metrics are always raw-space.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import flax.serialization
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sgp_tpu.data.scalers import ScalerParams
+from sgp_tpu.train.metrics import MaskedMetrics, _METRIC_FNS, _masked_reduce
+from sgp_tpu.utils.logging import logger
+
+
+def default_forward(model, params, batch, training: bool, rng):
+    """Generic forward adapter: pass x (+u, node_index, iid when present)."""
+    kwargs = {}
+    if "u" in batch:
+        kwargs["u"] = batch["u"]
+    if "node_index" in batch:
+        kwargs["node_index"] = batch["node_index"]
+        if np.ndim(batch["node_index"]) == 1 and \
+                batch["x"].ndim <= 3:
+            kwargs["iid"] = True
+    rngs = {"dropout": rng} if training else {}
+    return model.apply(params, batch["x"], training=training,
+                       rngs=rngs, **kwargs)
+
+
+class Predictor:
+    def __init__(self, model,
+                 loss: str = "mae",
+                 lr: float = 1e-3,
+                 weight_decay: float = 0.0,
+                 grad_clip: float = 5.0,
+                 lr_milestones: Optional[list] = None,
+                 lr_gamma: float = 0.25,
+                 steps_per_epoch: int = 1,
+                 scale_target: bool = False,
+                 metrics: Optional[MaskedMetrics] = None,
+                 forward_fn: Optional[Callable] = None,
+                 seed: int = 0):
+        self.model = model
+        self.loss_kind = loss
+        self.scale_target = scale_target
+        self.metrics = metrics or MaskedMetrics.forecasting()
+        self.forward_fn = forward_fn or default_forward
+        self.rng = jax.random.PRNGKey(seed)
+        self.params = None
+        self.opt_state = None
+        if lr_milestones:
+            schedule = optax.piecewise_constant_schedule(
+                lr, {int(m * steps_per_epoch): lr_gamma
+                     for m in lr_milestones})
+        else:
+            schedule = lr
+        opt = optax.adam(schedule)
+        if weight_decay > 0:
+            opt = optax.adamw(schedule, weight_decay=weight_decay)
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(grad_clip), opt)
+        self._train_step = None
+        self._eval_step = None
+
+    # -- setup -------------------------------------------------------------
+    def init(self, batch, scaler: ScalerParams):
+        batch = _to_device(batch)
+        self.rng, init_rng, drop_rng = jax.random.split(self.rng, 3)
+        self.params = self.model.init(
+            {"params": init_rng, "dropout": drop_rng},
+            batch["x"], **_fwd_kwargs(batch))
+        self.opt_state = self.optimizer.init(self.params)
+        n_params = sum(int(np.prod(p.shape))
+                       for p in jax.tree_util.tree_leaves(self.params))
+        logger.info(f"Initialized model with {n_params:,} parameters")
+        self._build_steps(scaler)
+        return self
+
+    def _build_steps(self, scaler: ScalerParams):
+        model, fwd = self.model, self.forward_fn
+        loss_fn_pt = _METRIC_FNS[self.loss_kind]
+        scale_target = self.scale_target
+        metrics = self.metrics
+
+        def compute_loss(params, batch, rng):
+            y_hat = fwd(model, params, batch, True, rng)
+            y, mask = batch["y"], batch.get("mask")
+            sc = batch.get("scaler", scaler)
+            if scale_target:
+                y_ref = sc.transform(y)
+            else:
+                y_hat = sc.inverse_transform(y_hat)
+                y_ref = y
+            v, n = _masked_reduce(loss_fn_pt, y_hat, y_ref, mask)
+            return v / jnp.maximum(n, 1.0)
+
+        @jax.jit
+        def train_step(params, opt_state, batch, rng):
+            loss, grads = jax.value_and_grad(compute_loss)(
+                params, batch, rng)
+            updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                       params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        @jax.jit
+        def eval_step(params, state, batch):
+            y_hat = fwd(model, params, batch, False, None)
+            sc = batch.get("scaler", scaler)
+            y_hat = sc.inverse_transform(y_hat)
+            return metrics.update(state, y_hat, batch["y"],
+                                  batch.get("mask"))
+
+        @jax.jit
+        def predict_step(params, batch):
+            y_hat = fwd(model, params, batch, False, None)
+            sc = batch.get("scaler", scaler)
+            return sc.inverse_transform(y_hat)
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+        self._predict_step = predict_step
+
+    # -- loops -------------------------------------------------------------
+    def train_epoch(self, loader) -> float:
+        assert self.params is not None, "call init() first"
+        total, count = 0.0, 0
+        for batch in loader:
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.params, self.opt_state, loss = self._train_step(
+                self.params, self.opt_state, _to_device(batch), step_rng)
+            total += float(loss)
+            count += 1
+        return total / max(count, 1)
+
+    def evaluate(self, loader, prefix: str = "") -> Dict[str, float]:
+        state = self.metrics.init()
+        for batch in loader:
+            state = self._eval_step(self.params, state, _to_device(batch))
+        out = self.metrics.compute(state)
+        return {f"{prefix}{k}": v for k, v in out.items()}
+
+    def predict(self, loader) -> np.ndarray:
+        return np.concatenate(
+            [np.asarray(self._predict_step(self.params, _to_device(b)))
+             for b in loader], axis=0)
+
+    def fit(self, train_loader, val_loader=None, epochs: int = 1,
+            patience: Optional[int] = None, monitor: str = "mae",
+            log_every: int = 1, scaler: Optional[ScalerParams] = None):
+        if self.params is None:
+            first = next(iter(train_loader))
+            self.init(first, scaler if scaler is not None
+                      else ScalerParams(jnp.zeros(1), jnp.ones(1)))
+        best_metric, best_params, bad_epochs = np.inf, self.params, 0
+        for epoch in range(epochs):
+            t0 = time.time()
+            train_loss = self.train_epoch(train_loader)
+            logs = {"train_loss": train_loss}
+            if val_loader is not None:
+                logs.update(self.evaluate(val_loader, prefix="val_"))
+                current = logs[f"val_{monitor}"]
+            else:
+                current = train_loss
+            if current < best_metric:
+                best_metric, best_params, bad_epochs = current, \
+                    self.params, 0
+            else:
+                bad_epochs += 1
+            if log_every and epoch % log_every == 0:
+                msg = " ".join(f"{k}={v:.4f}" for k, v in logs.items())
+                logger.info(f"epoch {epoch}: {msg} "
+                            f"({time.time() - t0:.1f}s)")
+            if patience is not None and bad_epochs > patience:
+                logger.info(f"early stop at epoch {epoch}")
+                break
+        self.params = best_params  # restore best checkpoint
+        return best_metric
+
+    # -- checkpoint --------------------------------------------------------
+    def save(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as fp:
+            fp.write(flax.serialization.to_bytes(self.params))
+
+    def load(self, path: str):
+        assert self.params is not None, "init() before load()"
+        with open(path, "rb") as fp:
+            self.params = flax.serialization.from_bytes(
+                self.params, fp.read())
+        return self
+
+
+def _fwd_kwargs(batch):
+    kwargs = {}
+    if "u" in batch:
+        kwargs["u"] = batch["u"]
+    if "node_index" in batch:
+        kwargs["node_index"] = batch["node_index"]
+        if np.ndim(batch["node_index"]) == 1 and batch["x"].ndim <= 3:
+            kwargs["iid"] = True
+    return kwargs
+
+
+def _to_device(batch):
+    """numpy batch dict -> device arrays (scaler params pass through)."""
+    out = {}
+    for k, v in batch.items():
+        out[k] = v if isinstance(v, ScalerParams) else jnp.asarray(v)
+    return out

@@ -1,0 +1,104 @@
+"""Closed-form ridge readout.
+
+TPU-native replacement for the sklearn Ridge solve in the DynGESN path
+(``experiments/run_closed_form.py:191-228``): normal equations
+
+    (X^T X + lambda I) W = X^T Y
+
+with the Gram matrix accumulated on device in f32 (chunked so X never
+needs to be resident at once) and solved by Cholesky. The Gram
+accumulation is a pure sum over samples, so the multi-chip version just
+``psum``s the per-shard Gram/moment matrices (SURVEY.md §2.6) — see
+``sgp_tpu.parallel``. Intercept handling matches sklearn's
+``fit_intercept=True`` (center X and Y, solve, recover bias).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("fit_intercept",))
+def _gram_moments(x, y, fit_intercept: bool = True):
+    n = x.shape[0]
+    x_mean = x.mean(0) if fit_intercept else jnp.zeros(x.shape[1])
+    y_mean = y.mean(0) if fit_intercept else jnp.zeros(y.shape[1])
+    xc = x - x_mean
+    yc = y - y_mean
+    g = jnp.einsum("nd,ne->de", xc, xc, precision="highest")
+    m = jnp.einsum("nd,nc->dc", xc, yc, precision="highest")
+    return g, m, x_mean, y_mean, jnp.asarray(n, jnp.float32)
+
+
+def ridge_regression(x: jnp.ndarray, y: jnp.ndarray, alpha: float = 1.0,
+                     fit_intercept: bool = True,
+                     chunk: Optional[int] = 65536
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fit ``Y ~ X W + b``. Returns ``(W [D, C], b [C])``.
+
+    ``chunk`` streams the Gram accumulation over sample blocks so that
+    arbitrarily many samples fit (the CER-En closed-form X is
+    (T*N) x D, SURVEY.md §7.4).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    n, d = x.shape
+    if chunk is None or n <= chunk:
+        g, m, x_mean, y_mean, _ = _gram_moments(x, y, fit_intercept)
+    else:
+        # two passes: means, then centered Gram/moments per chunk
+        x_mean = x.mean(0) if fit_intercept else jnp.zeros(d)
+        y_mean = y.mean(0) if fit_intercept else jnp.zeros(y.shape[1])
+        g = jnp.zeros((d, d))
+        m = jnp.zeros((d, y.shape[1]))
+        for s in range(0, n, chunk):
+            xc = x[s:s + chunk] - x_mean
+            yc = y[s:s + chunk] - y_mean
+            g = g + jnp.einsum("nd,ne->de", xc, xc, precision="highest")
+            m = m + jnp.einsum("nd,nc->dc", xc, yc, precision="highest")
+    w = solve_ridge_normal(g, m, alpha)
+    b = y_mean - x_mean @ w if fit_intercept else jnp.zeros(y.shape[1])
+    return w, b
+
+
+@jax.jit
+def solve_ridge_normal(gram: jnp.ndarray, moment: jnp.ndarray,
+                       alpha: float) -> jnp.ndarray:
+    """Cholesky solve of ``(G + alpha I) W = M`` (jittable core — this is
+    the piece that runs replicated after a psum in the sharded path)."""
+    d = gram.shape[0]
+    a = gram + alpha * jnp.eye(d, dtype=gram.dtype)
+    chol = jax.scipy.linalg.cho_factor(a)
+    return jax.scipy.linalg.cho_solve(chol, moment)
+
+
+def closed_form_readout(x_train: np.ndarray, targets_by_lag,
+                        alpha: float = 1.0):
+    """Per-lag ridge fits (``run_closed_form.py:191-196``): one
+    independent solve per horizon lag, sharing the same design matrix —
+    so the Gram is computed ONCE and reused across all lags (an
+    algorithmic win over the reference's per-lag sklearn refits).
+
+    Args:
+        x_train: ``[M, D]`` design matrix.
+        targets_by_lag: iterable of ``[M, C]`` per-lag targets.
+
+    Returns: list of ``(W, b)`` per lag.
+    """
+    x = jnp.asarray(x_train, jnp.float32)
+    n, d = x.shape
+    x_mean = x.mean(0)
+    xc = x - x_mean
+    g = jnp.einsum("nd,ne->de", xc, xc, precision="highest")
+    out = []
+    for y in targets_by_lag:
+        y = jnp.asarray(y, jnp.float32)
+        y_mean = y.mean(0)
+        m = jnp.einsum("nd,nc->dc", xc, y - y_mean, precision="highest")
+        w = solve_ridge_normal(g, m, alpha)
+        out.append((w, y_mean - x_mean @ w))
+    return out
