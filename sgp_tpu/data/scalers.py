@@ -50,6 +50,18 @@ class ScalerParams:
             return p
         return ScalerParams(maybe_take(self.bias), maybe_take(self.scale))
 
+    def index_nodes_iid(self, node_index) -> "ScalerParams":
+        """Per-(time, node)-sample params for IID batches: node-resolved
+        params ``[..., N, C]`` become ``[B, 1, C]`` to broadcast against
+        ``y [B, H, C]`` (``lib/datasets/iid_dataset.py:98`` scaler fix)."""
+        def maybe_take(p):
+            if p.ndim >= 2 and p.shape[-2] > 1:
+                taken = jnp.take(p.reshape(p.shape[-2], p.shape[-1]),
+                                 node_index, axis=0)     # [B, C]
+                return taken[:, None, :]                 # [B, 1, C]
+            return p
+        return ScalerParams(maybe_take(self.bias), maybe_take(self.scale))
+
 
 class Scaler:
     """Base linear scaler; subclasses define :meth:`fit`."""

@@ -1,0 +1,129 @@
+"""SGP on large-scale datasets with fused IID (time, node) sampling.
+
+Counterpart of ``experiments/run_largescale_sgp.py`` (SURVEY.md §3.2):
+k-nn connectivity, RobustScaler(10, 90), horizon-lag eval steps, IID
+decoder training — here as the fully on-device fused step
+(``sgp_tpu/train/iid.py``), with `epochs x batches_epoch` steps and
+train-loss monitoring (no val loader during fit, ``:289-304``).
+
+Usage::
+
+    python -m sgp_tpu.exp.run_largescale_sgp \
+        --config largescale_100nn/sgp_pv.yaml
+    python -m sgp_tpu.exp.run_largescale_sgp --dataset-name synthetic_large
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sgp_tpu.data import (RobustScaler, SpatioTemporalDataset,
+                          WindowedLoader, Windowing)
+from sgp_tpu.exp.common import (Experiment, filter_kwargs, get_dataset,
+                                get_splitter)
+from sgp_tpu.exp.run_traffic_sgp import configure_parser, derive_order
+from sgp_tpu.encode import encode_dataset, get_encoder_class
+from sgp_tpu.models import SGPModel
+from sgp_tpu.train import MaskedMetrics, Predictor
+from sgp_tpu.train.iid import fused_iid_inputs, make_fused_iid_multi_step
+from sgp_tpu.utils.logging import logger
+
+
+def run_experiment(args):
+    dataset = get_dataset(args.dataset_name)
+    exog = dataset.datetime_encoded("day")
+    graph = dataset.get_connectivity(
+        knn=args.adj_knn, threshold=None, include_self=False)
+    logger.info(f"graph: {graph.num_nodes} nodes, {graph.num_edges} edges")
+    ds = SpatioTemporalDataset(
+        dataset.target, index=dataset.index, mask=dataset.mask,
+        graph=graph, covariates={"u": exog},
+        windowing=Windowing(window=args.window, horizon=args.horizon,
+                            horizon_lag=args.horizon_lag))
+    split = get_splitter(args.dataset_name, args.val_len,
+                         args.test_len).split(ds)
+    ds.fit_scaler(RobustScaler(axis=(0, 1), quantile_range=(10., 90.)),
+                  step_index=ds.indices()[split.train])
+    # memory estimate log (run_largescale_sgp.py:206-212)
+    order = derive_order(args)
+    est_gb = (ds.n_steps * ds.n_nodes * order * args.reservoir_size
+              * 4 / 2 ** 30)
+    logger.info(f"encoding memory estimate: {est_gb:.2f} GB (f32)")
+
+    input_size = ds.n_channels + (exog.shape[-1]
+                                  if args.preprocess_exogenous else 0)
+    encoder_cls = get_encoder_class(args.encoder_name)
+    enc_kwargs = filter_kwargs(encoder_cls.__init__, {
+        **vars(args), "input_size": input_size, "seed": args.seed})
+    encoder = encoder_cls(**enc_kwargs)
+    encode_dataset(ds, encoder,
+                   encode_exogenous=args.preprocess_exogenous,
+                   keep_raw=args.keep_raw, device_resident=True)
+
+    # train on the train slice only (IIDDataset restricted via reduce,
+    # sgp_datamodule.py:42-44)
+    train_steps = ds.indices()[split.train]
+    enc, tgt, mask, _valid_all, h_off, u = fused_iid_inputs(ds)
+    valid = jnp.asarray(train_steps)
+
+    sample = ds.gather_iid_batch(np.array([0]), np.array([0]))
+    x_size = sample["x"].shape[-1]
+    u_size = sample["u"].shape[-1] if "u" in sample else 0
+    model = SGPModel(
+        input_size=x_size, order=order, n_nodes=ds.n_nodes,
+        hidden_size=args.hidden_size, mlp_size=args.mlp_size,
+        output_size=ds.n_channels, n_layers=args.n_layers,
+        horizon=ds.windowing.horizon_steps,
+        positional_encoding=args.positional_encoding,
+        emb_size=args.emb_size, exog_size=u_size, resnet=args.resnet,
+        fully_connected=args.fully_connected, dropout=args.dropout)
+
+    key = jax.random.PRNGKey(args.seed)
+    params = model.init(
+        {"params": key, "dropout": key}, jnp.zeros((4, x_size)),
+        node_index=jnp.zeros(4, jnp.int32), iid=True,
+        **({"u": jnp.zeros((4, u_size))} if u_size else {}))
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(args.grad_clip_val),
+        optax.adam(args.lr))
+    opt_state = optimizer.init(params)
+
+    batches_epoch = args.batches_epoch if args.batches_epoch > 0 else 32
+    step = make_fused_iid_multi_step(
+        model, optimizer, enc, tgt, mask, valid, h_off,
+        ds.scaler_params(), u=u, batch_size=args.batch_size,
+        scale_target=args.scale_target, steps_per_call=batches_epoch)
+
+    t0 = time.time()
+    best_loss, best_params = np.inf, params
+    for epoch in range(args.epochs):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, k)
+        loss = float(loss)
+        if loss < best_loss:
+            best_loss, best_params = loss, params
+        if epoch % max(1, args.epochs // 20) == 0:
+            bps = batches_epoch * (epoch + 1) / max(time.time() - t0, 1e-9)
+            logger.info(f"epoch {epoch}: train_mae={loss:.4f} "
+                        f"({bps:.1f} batch/s)")
+    params = best_params
+
+    # full-graph evaluation on the test split
+    metrics = MaskedMetrics.forecasting()
+    predictor = Predictor(model, metrics=metrics)
+    predictor.params = params
+    predictor._build_steps(ds.scaler_params())
+    infer_bs = args.batch_inference or 16
+    test_loader = WindowedLoader(ds, split.test, batch_size=infer_bs)
+    results = predictor.evaluate(test_loader, prefix="test_")
+    results["train_time_s"] = time.time() - t0
+    logger.info(f"test: {results}")
+    return results
+
+
+if __name__ == "__main__":
+    Experiment(run_experiment, configure_parser()).run()

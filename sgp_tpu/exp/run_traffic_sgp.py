@@ -1,0 +1,166 @@
+"""SGP / ESN / ablation-encoder experiments on traffic datasets.
+
+Counterpart of ``experiments/run_traffic_sgp.py`` (see SURVEY.md §3.1):
+dataset -> datetime exogenous -> connectivity -> scaler/splitter ->
+training-free encode -> SGP decoder training -> test metrics.
+
+Usage::
+
+    python -m sgp_tpu.exp.run_traffic_sgp --config traffic/sgp_la.yaml
+    python -m sgp_tpu.exp.run_traffic_sgp --dataset-name synthetic \
+        --epochs 5 --batches-epoch 50
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from sgp_tpu.data import (SpatioTemporalDataset, StandardScaler,
+                          WindowedLoader, Windowing)
+from sgp_tpu.encode import encode_dataset, get_encoder_class
+from sgp_tpu.exp.common import (Experiment, add_common_args, filter_kwargs,
+                                get_dataset, get_splitter, str2bool)
+from sgp_tpu.models import SGPModel
+from sgp_tpu.models.esn import ESNModel
+from sgp_tpu.train import MaskedMetrics, Predictor
+from sgp_tpu.utils.logging import logger
+
+
+def configure_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    add_common_args(parser)
+    parser.add_argument("--encoder-name", type=str, default="sgp")
+    parser.add_argument("--model-name", type=str, default="sgp")
+    # preprocessing
+    parser.add_argument("--preprocess-exogenous", type=str2bool,
+                        default=True)
+    parser.add_argument("--keep-raw", type=str2bool, default=True)
+    parser.add_argument("--iid-sampling", type=str2bool, default=False)
+    parser.add_argument("--sgp-preprocessing", type=str2bool,
+                        default=False)
+    # reservoir / spatial flags (encoder surface, sgp_encoder.py:53-80)
+    parser.add_argument("--reservoir-size", type=int, default=32)
+    parser.add_argument("--reservoir-layers", type=int, default=1)
+    parser.add_argument("--leaking-rate", type=float, default=0.9)
+    parser.add_argument("--spectral-radius", type=float, default=0.9)
+    parser.add_argument("--density", type=float, default=0.7)
+    parser.add_argument("--input-scaling", type=float, default=1.0)
+    parser.add_argument("--alpha-decay", type=str2bool, default=False)
+    parser.add_argument("--reservoir-activation", type=str, default="tanh")
+    parser.add_argument("--receptive-field", type=int, default=1)
+    parser.add_argument("--bidirectional", type=str2bool, default=False)
+    parser.add_argument("--undirected", type=str2bool, default=False)
+    parser.add_argument("--add-self-loops", type=str2bool, default=False)
+    parser.add_argument("--global-attr", type=str2bool, default=False)
+    # decoder flags (sgp_model.py:105-123)
+    parser.add_argument("--hidden-size", type=int, default=32)
+    parser.add_argument("--mlp-size", type=int, default=32)
+    parser.add_argument("--emb-size", type=int, default=32)
+    parser.add_argument("--n-layers", type=int, default=1)
+    parser.add_argument("--dropout", type=float, default=0.0)
+    parser.add_argument("--fully-connected", type=str2bool, default=False)
+    parser.add_argument("--positional-encoding", type=str2bool,
+                        default=True)
+    parser.add_argument("--resnet", type=str2bool, default=False)
+    parser.add_argument("--rec-layers", type=int, default=1)  # esn
+    return parser
+
+
+def build_encoded_dataset(args):
+    """Dataset -> windowed STDataset -> scaler fit -> encoder precompute."""
+    dataset = get_dataset(args.dataset_name)
+    exog = dataset.datetime_encoded("day")
+    graph = dataset.get_connectivity(
+        threshold=args.adj_threshold, knn=args.adj_knn,
+        include_self=False)
+    ds = SpatioTemporalDataset(
+        dataset.target, index=dataset.index, mask=dataset.mask,
+        graph=graph, covariates={"u": exog},
+        windowing=Windowing(window=args.window, horizon=args.horizon,
+                            stride=args.stride,
+                            horizon_lag=args.horizon_lag))
+    split = get_splitter(args.dataset_name, args.val_len,
+                         args.test_len).split(ds)
+    ds.fit_scaler(StandardScaler(axis=(0, 1)),
+                  step_index=ds.indices()[split.train])
+
+    input_size = ds.n_channels + (exog.shape[-1]
+                                  if args.preprocess_exogenous else 0)
+    encoder_cls = get_encoder_class(args.encoder_name)
+    enc_kwargs = filter_kwargs(encoder_cls.__init__, {
+        **vars(args), "input_size": input_size, "seed": args.seed,
+        "reservoir_activation": args.reservoir_activation})
+    encoder = encoder_cls(**enc_kwargs)
+    encode_dataset(ds, encoder,
+                   encode_exogenous=args.preprocess_exogenous,
+                   keep_raw=args.keep_raw, device_resident=True)
+    return ds, split
+
+
+def derive_order(args) -> int:
+    """``run_traffic_sgp.py:220-226``."""
+    order = 1
+    order += (2 if args.bidirectional else 1) * args.receptive_field
+    if args.global_attr:
+        order += 1
+    order *= args.reservoir_layers
+    return order
+
+
+def run_experiment(args):
+    ds, split = build_encoded_dataset(args)
+    sample = ds.gather_batch(np.array([0]))
+    x_size = sample["x"].shape[-1]
+    u_size = sample["u"].shape[-1] if "u" in sample else 0
+
+    if args.model_name == "sgp":
+        model = SGPModel(
+            input_size=x_size, order=derive_order(args),
+            n_nodes=ds.n_nodes, hidden_size=args.hidden_size,
+            mlp_size=args.mlp_size, output_size=ds.n_channels,
+            n_layers=args.n_layers, horizon=ds.windowing.horizon_steps,
+            positional_encoding=args.positional_encoding,
+            emb_size=args.emb_size, exog_size=u_size,
+            resnet=args.resnet, fully_connected=args.fully_connected,
+            dropout=args.dropout)
+    elif args.model_name == "esn":
+        model = ESNModel.build(
+            input_size=x_size, hidden_size=args.hidden_size,
+            output_size=ds.n_channels, exog_size=u_size,
+            rec_layers=args.rec_layers,
+            horizon=ds.windowing.horizon_steps, seed=args.seed)
+    else:
+        raise ValueError(args.model_name)
+
+    batches_epoch = args.batches_epoch if args.batches_epoch > 0 else None
+    metrics = MaskedMetrics.forecasting(
+        {"15": 2, "30": 5, "60": 11} if args.horizon == 12 else {})
+    predictor = Predictor(
+        model, loss="mae", lr=args.lr, weight_decay=args.l2_reg,
+        grad_clip=args.grad_clip_val,
+        lr_milestones=args.lr_milestones if args.use_lr_schedule else None,
+        lr_gamma=args.lr_gamma,
+        steps_per_epoch=batches_epoch or max(
+            1, len(split.train) // args.batch_size),
+        scale_target=args.scale_target, metrics=metrics, seed=args.seed)
+
+    train_loader = WindowedLoader(ds, split.train,
+                                  batch_size=args.batch_size,
+                                  shuffle=True,
+                                  limit_batches=batches_epoch,
+                                  seed=args.seed)
+    infer_bs = args.batch_inference or args.batch_size
+    val_loader = WindowedLoader(ds, split.val, batch_size=infer_bs)
+    test_loader = WindowedLoader(ds, split.test, batch_size=infer_bs)
+
+    predictor.fit(train_loader, val_loader, epochs=args.epochs,
+                  patience=args.patience, scaler=ds.scaler_params())
+    predictor.save(f"{args.logdir}/best.msgpack")
+    results = predictor.evaluate(test_loader, prefix="test_")
+    logger.info(f"test: {results}")
+    return results
+
+
+if __name__ == "__main__":
+    Experiment(run_experiment, configure_parser()).run()

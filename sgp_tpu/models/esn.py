@@ -19,7 +19,7 @@ class ESNModel(nn.Module):
     horizon: int
 
     @nn.compact
-    def __call__(self, x, u=None, training: bool = False):
+    def __call__(self, x, u=None, training: bool = False, **kwargs):
         # x: [b s n f]
         x = maybe_cat_exog(x, u)
         b, s, n, f = x.shape

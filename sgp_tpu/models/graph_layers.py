@@ -1,0 +1,134 @@
+"""Trainable graph layers (flax).
+
+- :class:`DiffConv` — DCRNN diffusion convolution
+  (``tsl/nn/layers/graph_convs/diff_conv.py:12-105``): concat of
+  ``[x?, A x, ..., A^k x, A' x, ..., A'^k x]`` through one Linear. The
+  support operators (row-normalized forward + transposed-normalized
+  backward) are prepared host-side by :func:`diff_conv_support` and
+  passed as pytrees — each hop is an MXU matmul.
+- :class:`ConditionalBlock` — exogenous conditioning
+  (``tsl/nn/blocks/encoders/conditional.py:9-67``).
+- :class:`GatedGraphNetwork` — edge-gated message passing
+  (``tsl/nn/layers/graph_convs/gated_gn.py:9-64``, Satorras et al.);
+  dense-operator variant: messages aggregated via the (unweighted,
+  row-normalized) adjacency.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from sgp_tpu.graph.sparse import Graph, normalize_adj, transpose
+from sgp_tpu.models.blocks import get_activation
+from sgp_tpu.ops.spmm import Operator, build_operator
+
+
+def diff_conv_support(g: Graph, add_backward: bool = True,
+                      operator_mode: str = "auto") -> List[Operator]:
+    """Normalized forward (+ transposed) diffusion operators
+    (``diff_conv.py:50-66``)."""
+    ops = [build_operator(normalize_adj(g, "row"), operator_mode)]
+    if add_backward:
+        ops.append(build_operator(normalize_adj(transpose(g), "row"),
+                                  operator_mode))
+    return ops
+
+
+def diff_conv_support_from_arrays(src, dst, weight, num_nodes: int,
+                                  add_backward: bool = True
+                                  ) -> List[Operator]:
+    """Device-side support construction from (padded) edge arrays — for
+    per-batch subgraphs shipped as static-shaped tensors
+    (``sgp_tpu/data/subgraph.py``). Zero-weight padding edges contribute
+    nothing to degrees or aggregation. Jit-safe."""
+    import jax
+    from sgp_tpu.ops.spmm import COOOperator
+
+    def normalized(s, d, w):
+        deg = jax.ops.segment_sum(w, d, num_segments=num_nodes)
+        inv = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1e-38), 0.0)
+        return COOOperator(s, d, w * inv[d], num_nodes)
+
+    ops = [normalized(src, dst, weight)]
+    if add_backward:
+        ops.append(normalized(dst, src, weight))
+    return ops
+
+
+class DiffConv(nn.Module):
+    out_channels: int
+    k: int
+    root_weight: bool = True
+
+    @nn.compact
+    def __call__(self, x, supports: Sequence[Operator]):
+        out = [x] if self.root_weight else []
+        for op in supports:
+            cur = x
+            for _ in range(self.k):
+                cur = op @ cur
+                out.append(cur)
+        return nn.Dense(self.out_channels)(jnp.concatenate(out, -1))
+
+
+class ConditionalBlock(nn.Module):
+    output_size: int
+    activation: str = "relu"
+    dropout: float = 0.0
+    skip_connection: bool = False
+
+    @nn.compact
+    def __call__(self, x, u, training: bool = False):
+        act = get_activation(self.activation)
+        out = act(nn.Dense(self.output_size)(x))
+        cond = act(nn.Dense(self.output_size)(u))
+        out = nn.Dense(self.output_size)(out) \
+            + nn.Dense(self.output_size, use_bias=False)(cond)
+        out = act(out)
+        if self.dropout > 0:
+            out = nn.Dropout(self.dropout, deterministic=not training)(out)
+        if self.skip_connection:
+            out = nn.Dense(self.output_size)(x) + out
+        return out
+
+
+class GatedGraphNetwork(nn.Module):
+    """Edge-gated message passing (``gated_gn.py:9-64``):
+    ``m_ij = sigmoid(g(f([x_i, x_j]))) * f([x_i, x_j])`` sum-aggregated
+    into the destination, then an update MLP with skip. Edge compute is
+    the gather -> MLP -> segment-sum pattern (SURVEY.md §2.6 PyG
+    MessagePassing row)."""
+    output_size: int
+    activation: str = "silu"
+
+    @nn.compact
+    def __call__(self, x, src: jnp.ndarray, dst: jnp.ndarray,
+                 edge_mask: jnp.ndarray = None):
+        import jax
+        act = get_activation(self.activation)
+        n = x.shape[-2]
+        x_i = jnp.take(x, dst, axis=-2)     # destination (x_i in PyG)
+        x_j = jnp.take(x, src, axis=-2)     # source
+        m = jnp.concatenate([x_i, x_j], -1)
+        m = act(nn.Dense(self.output_size // 2)(m))
+        m = act(nn.Dense(self.output_size)(m))
+        gate = nn.sigmoid(nn.Dense(1)(m))
+        m = gate * m                        # [..., E, F]
+        if edge_mask is not None:
+            # zero out padding edges (static-shape subgraph batches)
+            m = m * edge_mask[..., :, None]
+        if m.ndim == 2:
+            agg = jax.ops.segment_sum(m, dst, num_segments=n)
+        else:
+            flat = m.reshape((-1,) + m.shape[-2:])
+            agg = jax.vmap(
+                lambda mb: jax.ops.segment_sum(mb, dst, num_segments=n)
+            )(flat).reshape(m.shape[:-2] + (n, m.shape[-1]))
+        out = nn.Dense(self.output_size)(
+            jnp.concatenate([agg, x], -1))
+        out = nn.Dense(self.output_size)(act(out))
+        skip = x if x.shape[-1] == self.output_size \
+            else nn.Dense(self.output_size)(x)
+        return out + skip

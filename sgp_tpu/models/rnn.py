@@ -40,7 +40,7 @@ class RNNModel(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, u=None, training: bool = False):
+    def __call__(self, x, u=None, training: bool = False, **kwargs):
         # x: [b s n f] — nodes fold into the batch (per-node recurrence)
         x = maybe_cat_exog(x, u)
         b, s, n, f = x.shape
@@ -67,7 +67,7 @@ class FCRNNModel(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, u=None, training: bool = False):
+    def __call__(self, x, u=None, training: bool = False, **kwargs):
         # x: [b s n f] -> [b s (n f)]
         if u is not None:
             if u.ndim == 3:

@@ -1,0 +1,139 @@
+"""Fully-fused IID decoder training.
+
+The TPU-native redesign of the reference's scalability layer
+(``lib/datasets/iid_dataset.py`` + ``lib/dataloader/iid_dataloader.py``):
+instead of DataLoader worker processes gathering (time, node) samples on
+the host and shipping them to the device, the *entire* step — uniform
+(t, n) sampling, feature/target gather from HBM-resident arrays, forward,
+loss, backward, Adam — is one jitted XLA program. The host only feeds an
+RNG key, so the remote-TPU link carries nothing per step.
+
+Multi-chip: shard the batch over the ``data`` mesh axis (each chip draws
+its own slice of the sample batch from its replicated/sharded arrays) —
+``Predictor``-compatible params/optimizer are reused unchanged.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sgp_tpu.data.scalers import ScalerParams
+from sgp_tpu.data.spatiotemporal import SpatioTemporalDataset
+from sgp_tpu.train.metrics import _METRIC_FNS, _masked_reduce
+
+
+def make_fused_iid_step(model, optimizer,
+                        encoded: jnp.ndarray,      # [T, N, D] in HBM
+                        target: jnp.ndarray,       # [T, N, C]
+                        mask: jnp.ndarray,         # [T, N, C] bool
+                        valid_starts: jnp.ndarray,  # [S] window starts
+                        horizon_offsets: jnp.ndarray,  # [H]
+                        scaler: ScalerParams,
+                        u: Optional[jnp.ndarray] = None,  # [T, F] global
+                        batch_size: int = 4096,
+                        loss: str = "mae",
+                        scale_target: bool = False) -> Callable:
+    """Build ``step(params, opt_state, rng) -> (params, opt_state, loss)``
+    with everything fused into one jitted program.
+
+    The big arrays (encoded/target/mask/u) are threaded through the jit
+    boundary as explicit *arguments*, never closure captures — a
+    closed-over device array becomes a jaxpr constant that XLA tries to
+    fold, which stalls compilation for multi-GB encodings.
+    """
+    loss_pt = _METRIC_FNS[loss]
+    n_nodes = encoded.shape[1]
+    has_u = u is not None
+    data = (encoded, target, mask, valid_starts, horizon_offsets) \
+        + ((u,) if has_u else ())
+
+    def sample_and_loss(params, rng, data):
+        enc, tgt, msk, valid, h_off = data[:5]
+        rng_t, rng_n, rng_d = jax.random.split(rng, 3)
+        t = jax.random.choice(rng_t, valid, (batch_size,))
+        n = jax.random.randint(rng_n, (batch_size,), 0, n_nodes)
+        x = enc[t, n]                           # [B, D]
+        y = tgt[t[:, None] + h_off[None, :], n[:, None]]
+        m = msk[t[:, None] + h_off[None, :], n[:, None]]
+        kwargs = {}
+        if has_u:
+            kwargs["u"] = data[5][t]            # [B, F] window exog
+        sc = scaler.index_nodes_iid(n)
+        y_hat = model.apply(params, x, node_index=n, training=True,
+                            iid=True, rngs={"dropout": rng_d}, **kwargs)
+        if scale_target:
+            y_ref = sc.transform(y)
+        else:
+            y_hat = sc.inverse_transform(y_hat)
+            y_ref = y
+        v, cnt = _masked_reduce(loss_pt, y_hat, y_ref, m)
+        return v / jnp.maximum(cnt, 1.0)
+
+    @jax.jit
+    def _step(params, opt_state, rng, data):
+        loss_val, grads = jax.value_and_grad(sample_and_loss)(
+            params, rng, data)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss_val
+
+    def step(params, opt_state, rng):
+        return _step(params, opt_state, rng, data)
+
+    step.core = _step     # (params, opt_state, rng, data) — data as args
+    step.data = data
+    return step
+
+
+def make_fused_iid_multi_step(model, optimizer, encoded, target, mask,
+                              valid_starts, horizon_offsets, scaler,
+                              u=None, batch_size: int = 4096,
+                              loss: str = "mae",
+                              scale_target: bool = False,
+                              steps_per_call: int = 32) -> Callable:
+    """Like :func:`make_fused_iid_step` but runs ``steps_per_call``
+    optimizer steps inside ONE jitted program (``lax.scan`` over steps) —
+    amortizing host->device dispatch latency, which dominates when the
+    device link is a remote tunnel. Returns
+    ``multi_step(params, opt_state, rng) -> (params, opt_state,
+    mean_loss)``. The big arrays remain explicit jit arguments."""
+    single = make_fused_iid_step(model, optimizer, encoded, target, mask,
+                                 valid_starts, horizon_offsets, scaler,
+                                 u=u, batch_size=batch_size, loss=loss,
+                                 scale_target=scale_target)
+    core, data = single.core, single.data
+
+    @jax.jit
+    def _multi(params, opt_state, rng, data):
+        def body(carry, key):
+            p, s = carry
+            p, s, l = core(p, s, key, data)
+            return (p, s), l
+        keys = jax.random.split(rng, steps_per_call)
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), keys)
+        return params, opt_state, losses.mean()
+
+    def multi_step(params, opt_state, rng):
+        return _multi(params, opt_state, rng, data)
+
+    return multi_step
+
+
+def fused_iid_inputs(dataset: SpatioTemporalDataset, dtype=jnp.float32):
+    """Lift the dataset tensors needed by the fused step into HBM."""
+    encoded = jnp.asarray(dataset.input_array(), dtype)
+    if encoded.ndim == 4:  # [T, N, C] expected; guard
+        raise ValueError("input_array must be [T, N, C]")
+    target = jnp.asarray(dataset.target, dtype)
+    mask = jnp.asarray(dataset.mask)
+    u = dataset.exog_array()
+    u = None if u is None else jnp.asarray(u, dtype)
+    valid = jnp.asarray(dataset.indices())
+    h_off = jnp.asarray(dataset.windowing.horizon_offsets())
+    return encoded, target, mask, valid, h_off, u

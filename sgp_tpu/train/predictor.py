@@ -28,19 +28,18 @@ from sgp_tpu.train.metrics import MaskedMetrics, _METRIC_FNS, _masked_reduce
 from sgp_tpu.utils.logging import logger
 
 
-def default_forward(model, params, batch, training: bool, rng):
-    """Generic forward adapter: pass x (+u, node_index, iid when present)."""
-    kwargs = {}
+def default_batch_to_call(batch, training: bool):
+    """Generic call adapter: ``(args, kwargs)`` for the model from a
+    batch — x (+u, node_index, iid when present). Models needing graph
+    operators supply their own adapter (the experiment runners do)."""
+    kwargs = {"training": training}
     if "u" in batch:
         kwargs["u"] = batch["u"]
     if "node_index" in batch:
         kwargs["node_index"] = batch["node_index"]
-        if np.ndim(batch["node_index"]) == 1 and \
-                batch["x"].ndim <= 3:
+        if np.ndim(batch["node_index"]) == 1 and batch["x"].ndim <= 3:
             kwargs["iid"] = True
-    rngs = {"dropout": rng} if training else {}
-    return model.apply(params, batch["x"], training=training,
-                       rngs=rngs, **kwargs)
+    return (batch["x"],), kwargs
 
 
 class Predictor:
@@ -54,13 +53,13 @@ class Predictor:
                  steps_per_epoch: int = 1,
                  scale_target: bool = False,
                  metrics: Optional[MaskedMetrics] = None,
-                 forward_fn: Optional[Callable] = None,
+                 batch_to_call: Optional[Callable] = None,
                  seed: int = 0):
         self.model = model
         self.loss_kind = loss
         self.scale_target = scale_target
         self.metrics = metrics or MaskedMetrics.forecasting()
-        self.forward_fn = forward_fn or default_forward
+        self.batch_to_call = batch_to_call or default_batch_to_call
         self.rng = jax.random.PRNGKey(seed)
         self.params = None
         self.opt_state = None
@@ -82,9 +81,9 @@ class Predictor:
     def init(self, batch, scaler: ScalerParams):
         batch = _to_device(batch)
         self.rng, init_rng, drop_rng = jax.random.split(self.rng, 3)
+        args, kwargs = self.batch_to_call(batch, training=False)
         self.params = self.model.init(
-            {"params": init_rng, "dropout": drop_rng},
-            batch["x"], **_fwd_kwargs(batch))
+            {"params": init_rng, "dropout": drop_rng}, *args, **kwargs)
         self.opt_state = self.optimizer.init(self.params)
         n_params = sum(int(np.prod(p.shape))
                        for p in jax.tree_util.tree_leaves(self.params))
@@ -93,14 +92,30 @@ class Predictor:
         return self
 
     def _build_steps(self, scaler: ScalerParams):
-        model, fwd = self.model, self.forward_fn
+        model, to_call = self.model, self.batch_to_call
+
+        def fwd(model, params, batch, training, rng):
+            args, kwargs = to_call(batch, training)
+            rngs = {"dropout": rng} if training else {}
+            return model.apply(params, *args, rngs=rngs, **kwargs)
         loss_fn_pt = _METRIC_FNS[self.loss_kind]
         scale_target = self.scale_target
         metrics = self.metrics
 
+        def slice_targets(batch, y_hat):
+            """Root-only loss for subgraph batches
+            (``lib/predictors/subgraph_predictor.py:14-15``)."""
+            y, mask = batch["y"], batch.get("mask")
+            if "target_nodes" in batch:
+                tn = batch["target_nodes"]
+                y_hat = jnp.take(y_hat, tn, axis=-2)
+                y = jnp.take(y, tn, axis=-2)
+                mask = None if mask is None else jnp.take(mask, tn, axis=-2)
+            return y_hat, y, mask
+
         def compute_loss(params, batch, rng):
             y_hat = fwd(model, params, batch, True, rng)
-            y, mask = batch["y"], batch.get("mask")
+            y_hat, y, mask = slice_targets(batch, y_hat)
             sc = batch.get("scaler", scaler)
             if scale_target:
                 y_ref = sc.transform(y)
@@ -122,10 +137,10 @@ class Predictor:
         @jax.jit
         def eval_step(params, state, batch):
             y_hat = fwd(model, params, batch, False, None)
+            y_hat, y, mask = slice_targets(batch, y_hat)
             sc = batch.get("scaler", scaler)
             y_hat = sc.inverse_transform(y_hat)
-            return metrics.update(state, y_hat, batch["y"],
-                                  batch.get("mask"))
+            return metrics.update(state, y_hat, y, mask)
 
         @jax.jit
         def predict_step(params, batch):
@@ -205,17 +220,6 @@ class Predictor:
             self.params = flax.serialization.from_bytes(
                 self.params, fp.read())
         return self
-
-
-def _fwd_kwargs(batch):
-    kwargs = {}
-    if "u" in batch:
-        kwargs["u"] = batch["u"]
-    if "node_index" in batch:
-        kwargs["node_index"] = batch["node_index"]
-        if np.ndim(batch["node_index"]) == 1 and batch["x"].ndim <= 3:
-            kwargs["iid"] = True
-    return kwargs
 
 
 def _to_device(batch):

