@@ -131,6 +131,58 @@ class MaskedMetrics:
                 for name, (v, n) in state.items()}
 
 
+# -- loss extras (``tsl/nn/metrics/pinball_loss.py``, ``multi_loss.py``,
+#    ``metric_wrappers.py``) ------------------------------------------------
+
+def pinball_loss(y_hat, y, q: float = 0.5):
+    """Quantile (pinball) loss (``pinball_loss.py:6-19``)."""
+    err = y - y_hat
+    return jnp.maximum(q * err, (q - 1.0) * err)
+
+
+def masked_pinball(y_hat, y, mask=None, q: float = 0.5):
+    v, n = _masked_reduce(lambda a, b: pinball_loss(a, b, q),
+                          jnp.asarray(y_hat), jnp.asarray(y), mask)
+    return v / jnp.maximum(n, 1.0)
+
+
+def multi_loss(losses, weights=None):
+    """Weighted combination of loss callables
+    (``multi_loss.py:5``): returns ``fn(y_hat, y, mask)``."""
+    if weights is None:
+        weights = [1.0] * len(losses)
+
+    def fn(y_hat, y, mask=None):
+        return sum(w * l(y_hat, y, mask)
+                   for w, l in zip(weights, losses))
+    return fn
+
+
+def metric_at_steps(metric_fn, steps):
+    """Restrict a metric to specific horizon steps
+    (``metric_wrappers.py`` split-by-step)."""
+    steps = jnp.asarray(steps)
+
+    def fn(y_hat, y, mask=None):
+        y_hat = jnp.take(y_hat, steps, axis=1)
+        y = jnp.take(y, steps, axis=1)
+        mask = None if mask is None else jnp.take(mask, steps, axis=1)
+        return metric_fn(y_hat, y, mask)
+    return fn
+
+
+def metric_on_channels(metric_fn, channels):
+    """Restrict a metric to channel subset (``metric_wrappers.py``)."""
+    channels = jnp.asarray(channels)
+
+    def fn(y_hat, y, mask=None):
+        y_hat = jnp.take(y_hat, channels, axis=-1)
+        y = jnp.take(y, channels, axis=-1)
+        mask = None if mask is None else jnp.take(mask, channels, axis=-1)
+        return metric_fn(y_hat, y, mask)
+    return fn
+
+
 # -- numpy twins (closed-form path, ``tsl/utils/numpy_metrics.py``) --------
 
 def numpy_masked_mae(y_hat, y, mask=None):
