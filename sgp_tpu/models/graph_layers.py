@@ -94,6 +94,93 @@ class ConditionalBlock(nn.Module):
         return out
 
 
+class GraphConv(nn.Module):
+    """``D^-1 A X Theta (+ X Theta_root) + b`` message passing with
+    row-normalized aggregation (``tsl/nn/base/graph_conv.py:11-75``).
+    Takes a pre-normalized operator."""
+    output_size: int
+    root_weight: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, op: Operator):
+        out = op @ nn.Dense(self.output_size, use_bias=False)(x)
+        if self.root_weight:
+            out = out + nn.Dense(self.output_size, use_bias=False,
+                                 name="root")(x)
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros,
+                                   (self.output_size,))
+        return out
+
+
+class GATConv(nn.Module):
+    """Graph attention convolution (``graph_convs/gat_conv.py:19-287``,
+    PyG-style): per-edge attention logits from source+destination
+    projections, softmax over each destination's incoming edges
+    (segment softmax), multi-head concat."""
+    output_size: int
+    heads: int = 1
+    concat: bool = True
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, src: jnp.ndarray, dst: jnp.ndarray):
+        import jax
+        from sgp_tpu.ops.scatter import segment_softmax
+        h, dh = self.heads, self.output_size
+        n = x.shape[-2]
+        xp = nn.DenseGeneral((h, dh))(x)             # [..., n, h, dh]
+        a_src = self.param("a_src", nn.initializers.lecun_normal(),
+                           (h, dh))
+        a_dst = self.param("a_dst", nn.initializers.lecun_normal(),
+                           (h, dh))
+        alpha_src = (xp * a_src).sum(-1)             # [..., n, h]
+        alpha_dst = (xp * a_dst).sum(-1)
+        logits = (jnp.take(alpha_src, src, axis=-2)
+                  + jnp.take(alpha_dst, dst, axis=-2))  # [..., e, h]
+        logits = nn.leaky_relu(logits, self.negative_slope)
+
+        def one(logits_e, msgs_e):
+            att = jax.vmap(lambda l: segment_softmax(l, dst, n),
+                           in_axes=-1, out_axes=-1)(logits_e)
+            weighted = msgs_e * att[..., None]       # [e, h, dh]
+            return jax.ops.segment_sum(weighted, dst, num_segments=n)
+
+        msgs = jnp.take(xp, src, axis=-3)            # [..., e, h, dh]
+        if x.ndim == 2:
+            out = one(logits, msgs)
+        else:
+            lead = x.shape[:-2]
+            out = jax.vmap(one)(
+                logits.reshape((-1,) + logits.shape[-2:]),
+                msgs.reshape((-1,) + msgs.shape[-3:]))
+            out = out.reshape(lead + (n, h, dh))
+        if self.concat:
+            return out.reshape(out.shape[:-2] + (h * dh,))
+        return out.mean(-2)
+
+
+class SpatioTemporalAttention(nn.Module):
+    """Temporal then spatial attention sandwich
+    (``graph_convs/spatio_temporal_att.py:7-59``)."""
+    hidden_size: int
+    n_heads: int = 1
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        from sgp_tpu.models.attention import MultiHeadAttention
+        if x.shape[-1] != self.hidden_size:
+            x = nn.Dense(self.hidden_size)(x)
+        h = MultiHeadAttention(self.hidden_size, self.n_heads, "time",
+                               dropout=self.dropout)(x, training=training)
+        x = nn.LayerNorm()(x + h)
+        h = MultiHeadAttention(self.hidden_size, self.n_heads, "nodes",
+                               dropout=self.dropout)(x, training=training)
+        return nn.LayerNorm()(x + h)
+
+
 class GatedGraphNetwork(nn.Module):
     """Edge-gated message passing (``gated_gn.py:9-64``):
     ``m_ij = sigmoid(g(f([x_i, x_j]))) * f([x_i, x_j])`` sum-aggregated
