@@ -209,6 +209,26 @@ class Predictor:
         return best_metric
 
     # -- checkpoint --------------------------------------------------------
+    def save_state(self, path: str, epoch: int = 0,
+                   best_metric: float = float("inf")):
+        """Full restartable state: params + optimizer + RNG + progress
+        (SURVEY.md §5.4)."""
+        from sgp_tpu.train.checkpoint import save_train_state
+        save_train_state(path, self.params, self.opt_state, self.rng,
+                         extra={"epoch": epoch,
+                                "best_metric": best_metric})
+
+    def load_state(self, path: str):
+        from sgp_tpu.train.checkpoint import load_train_state
+        assert self.params is not None, "init() before load_state()"
+        self.params, opt_state, rng, extra = load_train_state(
+            path, self.params, self.opt_state)
+        if opt_state is not None:
+            self.opt_state = opt_state
+        if rng is not None:
+            self.rng = rng
+        return extra
+
     def save(self, path: str):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "wb") as fp:
