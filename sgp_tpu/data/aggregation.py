@@ -50,7 +50,7 @@ def temporal_mean(x: np.ndarray, index: np.ndarray,
     (``framearray.py:96-145``)."""
     index = np.asarray(index, "datetime64[ns]")
     day = index.astype("datetime64[D]")
-    weekday = ((day.astype("int64") + 4) % 7)  # 1970-01-01 was a Thursday
+    weekday = ((day.astype("int64") + 3) % 7)  # 1970-01-01 was a Thursday
     tod = (index - day).astype("timedelta64[s]").astype("int64")
     _, tod_ids = np.unique(tod, return_inverse=True)
     n_tod = tod_ids.max() + 1

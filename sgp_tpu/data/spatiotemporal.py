@@ -308,6 +308,79 @@ class SpatioTemporalDataset:
         sub.exog_keys = list(self.exog_keys)
         return sub
 
+    # -- persistence & windowing context ----------------------------------
+    def save(self, path: str):
+        """Persist arrays + windowing (``spatiotemporal_dataset.py:
+        869-887`` torch.save counterpart, as npz)."""
+        import dataclasses as _dc
+        arrays = {"target": self.target, "mask": self.mask}
+        if self.index is not None:
+            arrays["index"] = self.index.astype("datetime64[ns]"
+                                                ).astype(np.int64)
+        meta = {"windowing": _dc.asdict(self.windowing),
+                "input_keys": self.input_keys,
+                "exog_keys": self.exog_keys, "cov": {}}
+        for name, cov in self.covariates.items():
+            arrays[f"cov_{name}"] = np.asarray(cov.value)
+            meta["cov"][name] = cov.pattern
+        if self.graph is not None:
+            arrays["g_src"] = self.graph.src
+            arrays["g_dst"] = self.graph.dst
+            arrays["g_w"] = self.graph.weight
+            meta["g_n"] = self.graph.num_nodes
+        import json
+        np.savez_compressed(path, __meta__=np.frombuffer(
+            json.dumps(meta).encode(), np.uint8), **arrays)
+
+    @classmethod
+    def load(cls, path: str) -> "SpatioTemporalDataset":
+        import json
+        data = np.load(path)
+        meta = json.loads(bytes(data["__meta__"]).decode())
+        graph = None
+        if "g_src" in data:
+            graph = Graph(data["g_src"], data["g_dst"], data["g_w"],
+                          meta["g_n"])
+        index = (data["index"].astype("datetime64[ns]")
+                 if "index" in data else None)
+        ds = cls(data["target"], index=index, mask=data["mask"],
+                 graph=graph, windowing=Windowing(**meta["windowing"]))
+        for name, pattern in meta["cov"].items():
+            ds.covariates[name] = Covariate(data[f"cov_{name}"], pattern)
+        ds.input_keys = meta["input_keys"]
+        ds.exog_keys = meta["exog_keys"]
+        return ds
+
+    def change_windowing(self, **kwargs):
+        """Context manager temporarily altering the windowing
+        (``spatiotemporal_dataset.py:773-784``)."""
+        import contextlib
+        import dataclasses as _dc
+
+        @contextlib.contextmanager
+        def ctx():
+            prev = self.windowing
+            self.windowing = _dc.replace(prev, **kwargs)
+            try:
+                yield self
+            finally:
+                self.windowing = prev
+        return ctx()
+
+    def overlapping_indices(self, items_a, items_b) -> np.ndarray:
+        """Items of ``a`` whose sample span overlaps any step used by
+        ``b`` (``spatiotemporal_dataset.py:812-846``)."""
+        steps_b = set(self.expand_item_steps(items_b).tolist())
+        w = self.windowing
+        starts = self.indices()
+        out = []
+        for i in np.asarray(items_a):
+            span = range(int(starts[i]),
+                         int(starts[i]) + w.sample_span)
+            if any(s in steps_b for s in span):
+                out.append(i)
+        return np.asarray(out, np.int64)
+
     def expand_item_steps(self, item_idx: np.ndarray) -> np.ndarray:
         """All horizon steps covered by the given items (for splitter
         overlap handling)."""

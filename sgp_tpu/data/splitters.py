@@ -138,6 +138,30 @@ class FixedIndicesSplitter(Splitter):
         return self._split
 
 
+def datetime_onehot(index: np.ndarray, units) -> np.ndarray:
+    """One-hot calendar features (``mixin.py:117-129``): supported units
+    ``weekday`` (7), ``hour`` (24), ``month`` (12)."""
+    if isinstance(units, str):
+        units = [units]
+    idx = np.asarray(index, "datetime64[ns]")
+    cols = []
+    for unit in units:
+        if unit == "weekday":
+            day = idx.astype("datetime64[D]")
+            vals = ((day.astype("int64") + 3) % 7)
+            k = 7
+        elif unit == "hour":
+            vals = (idx.astype("datetime64[h]").astype("int64") % 24)
+            k = 24
+        elif unit == "month":
+            vals = (idx.astype("datetime64[M]").astype("int64") % 12)
+            k = 12
+        else:
+            raise ValueError(unit)
+        cols.append(np.eye(k, dtype=np.float32)[vals])
+    return np.concatenate(cols, axis=-1)
+
+
 def datetime_encoded(index: np.ndarray, units) -> np.ndarray:
     """Sin/cos encodings of timestamp phase within each unit
     (``tsl/datasets/prototypes/mixin.py:97-115``). Returns

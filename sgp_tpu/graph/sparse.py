@@ -118,7 +118,16 @@ class Graph:
 # ---------------------------------------------------------------------------
 
 def coalesce(g: Graph, reduce: str = "sum") -> Graph:
-    """Sort edges by (dst, src) and merge duplicates."""
+    """Sort edges by (dst, src) and merge duplicates. Uses the native
+    kernel (``sgp_tpu/native``) for large edge lists when available;
+    numpy fallback is behaviorally identical (tested)."""
+    if reduce == "sum" and g.num_edges >= 100_000:
+        from sgp_tpu import native
+        if native.AVAILABLE:
+            out = native.coalesce_edges(g.src, g.dst, g.weight,
+                                        g.num_nodes)
+            if out is not None:
+                return Graph(out[0], out[1], out[2], g.num_nodes)
     key = g.dst.astype(np.int64) * g.num_nodes + g.src
     order = np.argsort(key, kind="stable")
     key, src, dst, w = key[order], g.src[order], g.dst[order], g.weight[order]
@@ -238,24 +247,30 @@ def k_hop_subgraph(g: Graph, roots: np.ndarray, k: int,
     relabeled node ids, and positions of the roots inside ``nodes``.
     """
     roots = np.asarray(roots, np.int64)
-    mask = np.zeros(g.num_nodes, bool)
-    mask[roots] = True
-    frontier = roots
-    # CSC-by-target for fast "who feeds node t" lookups
-    mat = sp.csr_matrix(
-        (np.ones(g.num_edges, np.int8), (g.dst, g.src)),
-        shape=(g.num_nodes, g.num_nodes))
-    for _ in range(k):
-        if flow == "target_to_source":
-            nxt = mat[frontier].indices
-        else:
-            nxt = mat.T.tocsr()[frontier].indices
-        nxt = np.unique(nxt)
-        new = nxt[~mask[nxt]]
-        if len(new) == 0:
-            break
-        mask[new] = True
-        frontier = new
+    mask = None
+    if flow == "target_to_source" and g.num_edges >= 100_000:
+        from sgp_tpu import native
+        if native.AVAILABLE:
+            mask = native.khop_mask(g.src, g.dst, g.num_nodes, roots, k)
+    if mask is None:
+        mask = np.zeros(g.num_nodes, bool)
+        mask[roots] = True
+        frontier = roots
+        # CSC-by-target for fast "who feeds node t" lookups
+        mat = sp.csr_matrix(
+            (np.ones(g.num_edges, np.int8), (g.dst, g.src)),
+            shape=(g.num_nodes, g.num_nodes))
+        for _ in range(k):
+            if flow == "target_to_source":
+                nxt = mat[frontier].indices
+            else:
+                nxt = mat.T.tocsr()[frontier].indices
+            nxt = np.unique(nxt)
+            new = nxt[~mask[nxt]]
+            if len(new) == 0:
+                break
+            mask[new] = True
+            frontier = new
     nodes = np.nonzero(mask)[0]
     relabel = np.full(g.num_nodes, -1, np.int64)
     relabel[nodes] = np.arange(len(nodes))
