@@ -110,11 +110,55 @@ def derive_order(args) -> int:
 
 def run_experiment(args):
     ds, split = build_encoded_dataset(args)
+
+    support_ops = None
+    if args.sgp_preprocessing:
+        # loader-side propagation from materialized supports
+        # (SGPDataModule's sgp_preprocessing path)
+        from sgp_tpu.data.sgp_loader import build_support_operators
+        support_ops = build_support_operators(
+            ds.graph, k=args.receptive_field,
+            undirected=args.undirected,
+            add_loops=args.add_self_loops,
+            bidirectional=args.bidirectional,
+            global_attr=args.global_attr)
+
     sample = ds.gather_batch(np.array([0]))
     x_size = sample["x"].shape[-1]
+    if support_ops is not None:
+        x_size = x_size * (1 + len(support_ops))
     u_size = sample["u"].shape[-1] if "u" in sample else 0
+    to_call = None
 
-    if args.model_name == "sgp":
+    if args.model_name == "online_sgp":
+        from sgp_tpu.models import SGPOnlineModel
+        from sgp_tpu.encode.spatial import prepare_propagation_graphs
+        from sgp_tpu.ops import build_operator
+        graphs = prepare_propagation_graphs(
+            ds.graph, undirected=args.undirected,
+            add_loops=args.add_self_loops,
+            bidirectional=args.bidirectional)
+        operators = [build_operator(g) for g in graphs]
+        model = SGPOnlineModel(
+            input_size=x_size, n_nodes=ds.n_nodes,
+            output_size=ds.n_channels,
+            horizon=ds.windowing.horizon_steps,
+            receptive_field=args.receptive_field,
+            reservoir_layers=args.reservoir_layers,
+            bidirectional=args.bidirectional,
+            hidden_size=args.hidden_size, mlp_size=args.mlp_size,
+            n_layers=args.n_layers,
+            positional_encoding=args.positional_encoding,
+            emb_size=args.emb_size, exog_size=u_size,
+            resnet=args.resnet, fully_connected=args.fully_connected,
+            dropout=args.dropout)
+
+        def to_call(batch, training):
+            kwargs = {"u": batch.get("u"), "training": training}
+            if "node_index" in batch:
+                kwargs["node_index"] = batch["node_index"]
+            return (batch["x"], operators), kwargs
+    elif args.model_name == "sgp":
         model = SGPModel(
             input_size=x_size, order=derive_order(args),
             n_nodes=ds.n_nodes, hidden_size=args.hidden_size,
@@ -143,16 +187,43 @@ def run_experiment(args):
         lr_gamma=args.lr_gamma,
         steps_per_epoch=batches_epoch or max(
             1, len(split.train) // args.batch_size),
-        scale_target=args.scale_target, metrics=metrics, seed=args.seed)
+        scale_target=args.scale_target, metrics=metrics,
+        batch_to_call=to_call, seed=args.seed)
 
-    train_loader = WindowedLoader(ds, split.train,
-                                  batch_size=args.batch_size,
-                                  shuffle=True,
-                                  limit_batches=batches_epoch,
-                                  seed=args.seed)
     infer_bs = args.batch_inference or args.batch_size
-    val_loader = WindowedLoader(ds, split.val, batch_size=infer_bs)
-    test_loader = WindowedLoader(ds, split.test, batch_size=infer_bs)
+    if support_ops is not None:
+        from sgp_tpu.data.sgp_loader import SGPIIDLoader, SGPLoader
+        if args.iid_sampling:
+            train_loader = SGPIIDLoader(
+                ds, support_ops, batch_size=args.batch_size,
+                num_batches=batches_epoch or 1000, seed=args.seed,
+                step_index=ds.indices()[split.train])
+        else:
+            train_loader = SGPLoader(ds, support_ops, items=split.train,
+                                     batch_size=args.batch_size,
+                                     shuffle=True,
+                                     limit_batches=batches_epoch,
+                                     seed=args.seed)
+        val_loader = SGPLoader(ds, support_ops, items=split.val,
+                               batch_size=infer_bs)
+        test_loader = SGPLoader(ds, support_ops, items=split.test,
+                                batch_size=infer_bs)
+    elif args.iid_sampling:
+        from sgp_tpu.data import IIDLoader
+        train_loader = IIDLoader(ds, batch_size=args.batch_size,
+                                 num_batches=batches_epoch or 1000,
+                                 seed=args.seed,
+                                 step_index=ds.indices()[split.train])
+        val_loader = WindowedLoader(ds, split.val, batch_size=infer_bs)
+        test_loader = WindowedLoader(ds, split.test, batch_size=infer_bs)
+    else:
+        train_loader = WindowedLoader(ds, split.train,
+                                      batch_size=args.batch_size,
+                                      shuffle=True,
+                                      limit_batches=batches_epoch,
+                                      seed=args.seed)
+        val_loader = WindowedLoader(ds, split.val, batch_size=infer_bs)
+        test_loader = WindowedLoader(ds, split.test, batch_size=infer_bs)
 
     predictor.fit(train_loader, val_loader, epochs=args.epochs,
                   patience=args.patience, scaler=ds.scaler_params())
