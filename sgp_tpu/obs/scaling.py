@@ -1,0 +1,73 @@
+"""Multi-device scaling harness.
+
+Measures propagation (SpMM) and fused-IID-training throughput at 1
+device vs N devices on whatever mesh is available (real chips on a pod
+slice; the 8-device virtual CPU mesh in CI) and reports scaling
+efficiency — the edges/s 1-chip/1-host/N-hosts measurement BASELINE.json
+asks for (the reference has no distributed mode to compare against).
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgp_tpu.graph.sparse import Graph
+from sgp_tpu.ops.spmm import build_operator
+from sgp_tpu.parallel import make_mesh, shard_operator, sharded_spmm
+
+
+def _time(fn, *args, iters=20) -> float:
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def propagation_scaling(g: Graph, feat: int = 128, k: int = 2,
+                        n_devices: int = None) -> Dict[str, float]:
+    """edges/s of K-hop propagation single-device vs node-sharded over
+    the mesh; efficiency = sharded/(single * n_devices) when devices
+    actually add FLOPs (on a virtual CPU mesh the devices share cores,
+    so efficiency measures sharding overhead instead of speedup)."""
+    n_devices = n_devices or len(jax.devices())
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.standard_normal((g.num_nodes, feat)).astype(np.float32))
+    op = build_operator(g, "dense", precision="default")
+
+    @jax.jit
+    def khop_single(x):
+        cur = x
+        for _ in range(k):
+            cur = op @ cur
+        return cur
+
+    t_single = _time(khop_single, x)
+
+    mesh = make_mesh(1, n_devices)
+    op_s = shard_operator(op, mesh)
+
+    @jax.jit
+    def khop_sharded(x):
+        cur = x
+        for _ in range(k):
+            cur = sharded_spmm(op_s, cur, mesh)
+        return cur
+
+    with mesh:
+        t_sharded = _time(khop_sharded, x)
+
+    edges = g.num_edges * k
+    return {
+        "n_devices": n_devices,
+        "edges_per_s_single": edges / t_single,
+        "edges_per_s_sharded": edges / t_sharded,
+        "sharded_over_single": t_single / t_sharded,
+    }

@@ -1,0 +1,56 @@
+"""Scaling harness smoke + hyperopt + run logger."""
+import json
+import numpy as np
+import pytest
+
+import jax
+
+from sgp_tpu.graph import Graph, coalesce, normalize_adj
+from sgp_tpu.obs.scaling import propagation_scaling
+from sgp_tpu.exp.hyperopt import grid_trials, random_trials, run_search
+from sgp_tpu.obs.run_logger import RunLogger
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_propagation_scaling_runs(rng):
+    g = normalize_adj(coalesce(Graph(
+        rng.integers(0, 256, 4000), rng.integers(0, 256, 4000),
+        rng.random(4000).astype(np.float32), 256)), "row")
+    out = propagation_scaling(g, feat=64, k=2, n_devices=8)
+    assert out["edges_per_s_single"] > 0
+    assert out["edges_per_s_sharded"] > 0
+
+
+def test_hyperopt_grid_and_random():
+    space = {"lr": [0.1, 0.01], "h": [8, 16]}
+    assert len(grid_trials(space)) == 4
+    trials = random_trials(space, 5, seed=1)
+    assert len(trials) == 5
+    assert all(t["lr"] in space["lr"] for t in trials)
+
+
+def test_run_search_picks_best(tmp_path):
+    def run_fn(cfg):
+        if cfg["h"] == 13:
+            raise RuntimeError("boom")  # swallowed like the reference
+        return {"test_mae": abs(cfg["lr"] - 0.01) + cfg["h"] * 0.001}
+
+    out = run_search(run_fn, {"h": 8}, {"lr": [0.1, 0.01, 0.001],
+                                        "h": [8, 13]},
+                     mode="grid", monitor="test_mae",
+                     out_path=str(tmp_path / "hp.json"))
+    assert out["best_config"]["lr"] == 0.01
+    assert out["best_config"]["h"] == 8
+    assert any("error" in t for t in out["trials"])
+    assert (tmp_path / "hp.json").exists()
+
+
+def test_run_logger(tmp_path):
+    rl = RunLogger(str(tmp_path), prefix="train_")
+    rl.log_metrics({"mae": 1.5}, step=3)
+    rl.log_metrics({"mae": 1.2}, step=4)
+    rl.close()
+    lines = [json.loads(l) for l in
+             open(tmp_path / "metrics.jsonl").read().splitlines()]
+    assert lines[0]["train_mae"] == 1.5
+    assert lines[1]["_step"] == 4
