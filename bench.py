@@ -54,28 +54,38 @@ def main():
     chunk = 64
 
     @jax.jit
-    def encode(x, op):  # op passed as arg: keep the 100MB operator out
+    def reservoir_run(x):
+        return res.__call__(x)                  # [T, N, 128] f32
+
+    @jax.jit
+    def spatial_chunk(hc, op):  # op as arg: keep the 100MB operator out
         # of the jaxpr constants (closure capture stalls XLA folding)
-        h = res.__call__(x)                     # [T, N, 128] f32
+        # [Tc, N, 128] -> [Tc, N, 512] bf16 (k=2 hops + global mean)
+        parts = [hc]
+        cur = hc
+        for _ in range(2):
+            cur = spmm(op, cur)
+            parts.append(cur)
+        parts.append(jnp.broadcast_to(
+            hc.mean(-2, keepdims=True), hc.shape))
+        return jnp.concatenate(parts, -1).astype(jnp.bfloat16)
 
-        def spatial_chunk(hc):
-            # [Tc, N, 128] -> [Tc, N, 512] bf16 (k=2 hops + global mean)
-            parts = [hc]
-            cur = hc
-            for _ in range(2):
-                cur = spmm(op, cur)
-                parts.append(cur)
-            parts.append(jnp.broadcast_to(
-                hc.mean(-2, keepdims=True), hc.shape))
-            return jnp.concatenate(parts, -1).astype(jnp.bfloat16)
-
-        hc = h.reshape(t_steps // chunk, chunk, *h.shape[1:])
-        out = jax.lax.map(spatial_chunk, hc)    # streamed over time chunks
-        return out.reshape(t_steps, n_nodes, -1)
+    def encode(x):
+        h = reservoir_run(x)
+        outs = [spatial_chunk(h[s:s + chunk], op)
+                for s in range(0, t_steps, chunk)]
+        del h
+        out = jnp.concatenate(outs, axis=0)
+        del outs
+        return out
 
     t0 = time.time()
-    encoded = jax.block_until_ready(encode(x_series, op))  # [T,N,512] bf16
-    encode_s = time.time() - t0
+    encoded = jax.block_until_ready(encode(x_series))  # [T,N,512] bf16
+    encode_compile_s = time.time() - t0
+    encoded = None  # free before re-encode (peak HBM headroom)
+    t0 = time.time()
+    encoded = jax.block_until_ready(encode(x_series))
+    encode_s = time.time() - t0  # steady-state (compile excluded)
 
     # --- SpMM throughput (128-channel pass over the 100-nn graph)
     xf = jnp.asarray(
@@ -108,15 +118,19 @@ def main():
                             optax.adam(1e-3))
     opt_state = optimizer.init(params)
     scaler = ScalerParams(jnp.zeros(1), jnp.ones(1))
-    steps_per_call = 50
+    steps_per_call = 200
     step = make_fused_iid_multi_step(model, optimizer, encoded, target,
                                      mask, valid, h_off, scaler,
                                      batch_size=4096,
                                      steps_per_call=steps_per_call)
     params, opt_state, loss = step(params, opt_state, key)  # compile
     jax.block_until_ready(loss)
+    for _ in range(5):  # warmup: first post-compile calls run ~2x slow
+        key, k2 = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, k2)
+    jax.block_until_ready(loss)
     t0 = time.time()
-    calls = 20
+    calls = 5
     for i in range(calls):
         key, k2 = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, k2)
@@ -130,6 +144,7 @@ def main():
         "vs_baseline": round(batch_s / BASELINE_BATCH_S, 2),
         "extras": {
             "encode_wall_s_T1024_N5016_D512": round(encode_s, 2),
+            "encode_first_call_incl_compile_s": round(encode_compile_s, 2),
             "spmm_edges_per_s": int(spmm_edges_s),
             "n_edges_100nn": int(n_edges),
             "final_loss": float(loss),
