@@ -131,7 +131,16 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--workers", type=int, default=1)
     parser.add_argument("--adj-knn", type=int, default=None)
     parser.add_argument("--adj-threshold", type=float, default=0.1)
+    parser.add_argument("--synthetic-nodes", type=int, default=64)
+    parser.add_argument("--synthetic-steps", type=int, default=2000)
     return parser
+
+
+def dataset_kwargs(args) -> dict:
+    if getattr(args, "dataset_name", "").startswith("synthetic"):
+        return {"num_nodes": args.synthetic_nodes,
+                "num_steps": args.synthetic_steps}
+    return {}
 
 
 def str2bool(v) -> bool:

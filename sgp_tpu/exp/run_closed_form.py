@@ -47,7 +47,8 @@ def configure_parser() -> argparse.ArgumentParser:
 
 
 def run_experiment(args):
-    dataset = get_dataset(args.dataset_name)
+    from sgp_tpu.exp.common import dataset_kwargs
+    dataset = get_dataset(args.dataset_name, **dataset_kwargs(args))
     exog = dataset.datetime_encoded("day")
     graph = dataset.get_connectivity(
         threshold=args.adj_threshold, knn=args.adj_knn,

@@ -68,7 +68,8 @@ def build_subgraph_forward(args, ds, u_size):
 
 
 def run_experiment(args):
-    dataset = get_dataset(args.dataset_name)
+    from sgp_tpu.exp.common import dataset_kwargs
+    dataset = get_dataset(args.dataset_name, **dataset_kwargs(args))
     exog = dataset.datetime_encoded("day")
     graph = dataset.get_connectivity(knn=args.adj_knn, threshold=None,
                                      include_self=False)
