@@ -64,6 +64,9 @@ def configure_parser() -> argparse.ArgumentParser:
                         default=True)
     parser.add_argument("--resnet", type=str2bool, default=False)
     parser.add_argument("--rec-layers", type=int, default=1)  # esn
+    parser.add_argument("--fused", type=str2bool, default=True,
+                        help="fuse sampling+gather+train into one jitted "
+                             "program (scan over batches_epoch steps)")
     return parser
 
 
@@ -226,12 +229,75 @@ def run_experiment(args):
         val_loader = WindowedLoader(ds, split.val, batch_size=infer_bs)
         test_loader = WindowedLoader(ds, split.test, batch_size=infer_bs)
 
-    predictor.fit(train_loader, val_loader, epochs=args.epochs,
-                  patience=args.patience, scaler=ds.scaler_params())
+    if (args.fused and args.model_name == "sgp"
+            and not args.iid_sampling):
+        _fit_fused(args, ds, split, model, predictor, val_loader,
+                   support_ops, batches_epoch)
+    else:
+        predictor.fit(train_loader, val_loader, epochs=args.epochs,
+                      patience=args.patience, scaler=ds.scaler_params())
     predictor.save(f"{args.logdir}/best.msgpack")
     results = predictor.evaluate(test_loader, prefix="test_")
     logger.info(f"test: {results}")
     return results
+
+
+def _fit_fused(args, ds, split, model, predictor, val_loader,
+               support_ops, batches_epoch):
+    """Scan-fused windowed training: one device dispatch per epoch
+    (``sgp_tpu/train/fused_window.py``); val eval + early stopping +
+    best-checkpoint per epoch as in Predictor.fit."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from sgp_tpu.train.fused_window import make_fused_window_step
+
+    x_full = jnp.asarray(ds.input_array())
+    u_arr = ds.exog_array()
+    step = make_fused_window_step(
+        model, predictor.optimizer, x_full, jnp.asarray(ds.target),
+        jnp.asarray(ds.mask), jnp.asarray(ds.indices()[split.train]),
+        jnp.asarray(ds.windowing.window_offsets()),
+        jnp.asarray(ds.windowing.horizon_offsets()),
+        ds.scaler_params(),
+        u=None if u_arr is None else jnp.asarray(u_arr),
+        support_ops=support_ops, batch_size=args.batch_size,
+        scale_target=args.scale_target,
+        steps_per_call=batches_epoch or 300)
+    # initialize params/steps through the standard path (propagate the
+    # sample batch if the model expects support-expanded channels)
+    first = ds.gather_batch(np.array([0, 1]))
+    if support_ops is not None:
+        from sgp_tpu.data.sgp_loader import apply_support
+        first["x"] = apply_support(jnp.asarray(first["x"]), support_ops)
+    predictor.init(first, ds.scaler_params())
+    key = jax.random.PRNGKey(args.seed)
+    best, best_params, bad = np.inf, predictor.params, 0
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        key, k = jax.random.split(key)
+        predictor.params, predictor.opt_state, loss = step(
+            predictor.params, predictor.opt_state, k)
+        logs = {"train_loss": float(loss)}
+        if val_loader is not None:
+            logs.update(predictor.evaluate(val_loader, prefix="val_"))
+            current = logs["val_mae"]
+        else:
+            current = logs["train_loss"]
+        if current < best:
+            best, best_params, bad = current, predictor.params, 0
+        else:
+            bad += 1
+        logger.info(f"epoch {epoch}: " + " ".join(
+            f"{k2}={v:.4f}" for k2, v in logs.items())
+            + f" ({time.time() - t0:.1f}s)")
+        if args.patience is not None and bad > args.patience:
+            logger.info(f"early stop at epoch {epoch}")
+            break
+    predictor.params = best_params
 
 
 if __name__ == "__main__":
