@@ -217,6 +217,25 @@ def normalize_adj(g: Graph, norm: str = "row",
     raise ValueError(f"unknown norm {norm!r}")
 
 
+def rcm_order(g: Graph) -> np.ndarray:
+    """Reverse-Cuthill-McKee node ordering: concentrates edges near the
+    diagonal so the 128x128 BSR packing (``Graph.to_bsr``) has empty
+    off-band blocks for the Pallas kernel to skip. Returns the
+    permutation ``perm`` (new position -> old id)."""
+    mat = g.to_scipy() + g.to_scipy().T
+    return np.asarray(
+        sp.csgraph.reverse_cuthill_mckee(mat.tocsr(),
+                                         symmetric_mode=True),
+        np.int64)
+
+
+def permute_nodes(g: Graph, perm: np.ndarray) -> Graph:
+    """Relabel nodes so new node ``i`` is old node ``perm[i]``."""
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    return Graph(inv[g.src], inv[g.dst], g.weight, g.num_nodes)
+
+
 def spgemm(a: Graph, b: Graph) -> Graph:
     """Sparse-sparse matmul of two operators (support materialization,
     replaces torch_sparse ``adj @ adj`` in ``lib/sgp_preprocessing.py:145``).
