@@ -31,7 +31,9 @@ def encode_dataset(dataset: SpatioTemporalDataset,
                    keep_raw: bool = False,
                    save_path: Optional[str] = None,
                    time_chunk: Optional[int] = None,
-                   device_resident: bool = False) -> SpatioTemporalDataset:
+                   device_resident: bool = False,
+                   store_dtype: Optional[str] = None
+                   ) -> SpatioTemporalDataset:
     """Encode, attach ``encoded_x``, rewire input/exog keys. Returns the
     (mutated) dataset; the encode wall-clock is logged — it is one of the
     headline performance numbers (BASELINE.md).
@@ -55,8 +57,21 @@ def encode_dataset(dataset: SpatioTemporalDataset,
         dataset.set_input_keys(prev_keys)
 
         start = time.time()
-        encoded = encoder(x, dataset.graph, **(
-            {"time_chunk": time_chunk} if time_chunk is not None else {}))
+        enc_kwargs = {}
+        if time_chunk is not None:
+            enc_kwargs["time_chunk"] = time_chunk
+        if store_dtype is not None:
+            # e.g. 'bfloat16': halves the HBM footprint of the stored
+            # encoding (decoder training is robust to bf16 features);
+            # applied per-chunk inside the encoder so the full-width f32
+            # expansion never materializes at once
+            enc_kwargs["out_dtype"] = store_dtype
+        try:
+            encoded = encoder(x, dataset.graph, **enc_kwargs)
+        except TypeError:  # encoders without chunk/dtype support (GESN)
+            encoded = encoder(x, dataset.graph)
+            if store_dtype is not None:
+                encoded = encoded.astype(store_dtype)
         if device_resident:
             import jax
             encoded = jax.block_until_ready(jnp.asarray(encoded))

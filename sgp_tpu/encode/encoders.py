@@ -105,16 +105,27 @@ class SGPEncoder:
         return self.spatial.output_size(self.reservoir.output_size)
 
     def __call__(self, x: jnp.ndarray, graph: Graph,
-                 time_chunk: Optional[int] = None) -> jnp.ndarray:
-        """Encode ``x [T, N, F]``; ``time_chunk`` streams the spatial
-        stage in chunks of steps (memory control for large T*N*D)."""
+                 time_chunk: Optional[int] = None,
+                 out_dtype=None,
+                 to_host: bool = False) -> jnp.ndarray:
+        """Encode ``x [T, N, F]``. ``time_chunk`` streams the spatial
+        stage in chunks of steps so only one chunk's full-width (k+1)x
+        expansion is live at a time; each chunk is cast to ``out_dtype``
+        (e.g. bf16 to halve HBM) before concatenation. ``to_host`` moves
+        chunks to host memory (for encodings larger than HBM — slow on
+        a remote device link)."""
         h = self.reservoir(x)  # [T, N, L*H]
+        cast = (lambda a: a) if out_dtype is None \
+            else (lambda a: a.astype(out_dtype))
         if time_chunk is None:
-            return self.spatial(h, graph)
+            return cast(self.spatial(h, graph))
         outs = []
         for s in range(0, h.shape[0], time_chunk):
-            outs.append(np.asarray(self.spatial(h[s:s + time_chunk], graph)))
-        return np.concatenate(outs, axis=0)
+            chunk = cast(self.spatial(h[s:s + time_chunk], graph))
+            outs.append(np.asarray(chunk) if to_host else chunk)
+        if to_host:
+            return np.concatenate(outs, axis=0)
+        return jnp.concatenate(outs, axis=0)
 
 
 class GESNEncoder:

@@ -63,7 +63,9 @@ def run_experiment(args):
     encoder = encoder_cls(**enc_kwargs)
     encode_dataset(ds, encoder,
                    encode_exogenous=args.preprocess_exogenous,
-                   keep_raw=args.keep_raw, device_resident=True)
+                   keep_raw=args.keep_raw, device_resident=True,
+                   store_dtype=args.encode_dtype or "bfloat16",
+                   time_chunk=args.encode_time_chunk or 128)
 
     # train on the train slice only (IIDDataset restricted via reduce,
     # sgp_datamodule.py:42-44)

@@ -67,6 +67,10 @@ def configure_parser() -> argparse.ArgumentParser:
     parser.add_argument("--fused", type=str2bool, default=True,
                         help="fuse sampling+gather+train into one jitted "
                              "program (scan over batches_epoch steps)")
+    parser.add_argument("--encode-dtype", type=str, default=None,
+                        help="storage dtype for the encoding, e.g. "
+                             "bfloat16 (halves HBM)")
+    parser.add_argument("--encode-time-chunk", type=int, default=None)
     return parser
 
 
@@ -98,7 +102,9 @@ def build_encoded_dataset(args):
     encoder = encoder_cls(**enc_kwargs)
     encode_dataset(ds, encoder,
                    encode_exogenous=args.preprocess_exogenous,
-                   keep_raw=args.keep_raw, device_resident=True)
+                   keep_raw=args.keep_raw, device_resident=True,
+                   store_dtype=args.encode_dtype,
+                   time_chunk=args.encode_time_chunk)
     return ds, split
 
 

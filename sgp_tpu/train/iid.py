@@ -126,8 +126,13 @@ def make_fused_iid_multi_step(model, optimizer, encoded, target, mask,
 
 
 def fused_iid_inputs(dataset: SpatioTemporalDataset, dtype=jnp.float32):
-    """Lift the dataset tensors needed by the fused step into HBM."""
-    encoded = jnp.asarray(dataset.input_array(), dtype)
+    """Lift the dataset tensors needed by the fused step into HBM.
+    Device-resident inputs keep their stored dtype (e.g. bf16 encodings
+    are NOT upcast — that would double their HBM footprint)."""
+    import jax
+    x_arr = dataset.input_array()
+    encoded = x_arr if isinstance(x_arr, jax.Array) \
+        else jnp.asarray(x_arr, dtype)
     if encoded.ndim == 4:  # [T, N, C] expected; guard
         raise ValueError("input_array must be [T, N, C]")
     target = jnp.asarray(dataset.target, dtype)
