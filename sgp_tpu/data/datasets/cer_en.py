@@ -14,7 +14,7 @@ from typing import Optional
 import numpy as np
 
 from sgp_tpu.data.datasets.base import TabularDataset
-from sgp_tpu.graph.similarities import _rbf_kernel
+from sgp_tpu.graph.similarities import correntropy
 
 AGG_SCALE = 1000
 
@@ -41,17 +41,17 @@ class CEREn(TabularDataset):
                            train_slice: Optional[np.ndarray] = None,
                            **kwargs) -> np.ndarray:
         x = self.target[..., 0] * self.mask[..., 0]
+        mask = self.mask[..., 0:1].astype(np.uint8)
         if train_slice is not None:
             x = self.target[train_slice, :, 0]
+            mask = mask[train_slice]
         if method == "pearson":
             return np.corrcoef(x, rowvar=False)
         if method == "correntropy":
             xs = (x - x.mean()) / x.std()
             step = self.index[1] - self.index[0]
             period = int(np.timedelta64(7, "D") / step)
-            sim = np.zeros((x.shape[1], x.shape[1]), np.float32)
-            chunks = range(period, len(xs), period)
-            for i in chunks:
-                sim += _rbf_kernel(xs[i - period:i].T, gamma=gamma)
-            return sim / max(len(chunks), 1)
+            # masked weekly-window correntropy (windows with missing
+            # values excluded, matching the reference's mask handling)
+            return correntropy(xs, period=period, mask=mask, gamma=gamma)
         raise NotImplementedError(method)

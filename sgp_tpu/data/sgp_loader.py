@@ -67,12 +67,15 @@ class SGPLoader(WindowedLoader):
                  operators: List[Operator], **kwargs):
         super().__init__(dataset, **kwargs)
         self.operators = operators
-        self._apply = jax.jit(
-            lambda x: apply_support(x, self.operators))
+        # operators passed as jit ARGS, not closure captures — closed-over
+        # device arrays become jaxpr constants (CLAUDE.md: stalls XLA
+        # constant folding for large dense supports)
+        self._apply = jax.jit(apply_support)
 
     def __iter__(self) -> Iterator[Batch]:
         for batch in super().__iter__():
-            batch["x"] = self._apply(jnp.asarray(batch["x"]))
+            batch["x"] = self._apply(jnp.asarray(batch["x"]),
+                                     self.operators)
             yield batch
 
 

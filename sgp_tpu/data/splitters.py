@@ -52,7 +52,9 @@ class TemporalSplitter(Splitter):
         test_start = len(idx) - int(test_len)
         val_start = test_start - int(val_len)
         w = dataset.windowing
-        offset = -(-w.sample_span // w.stride)  # ceil
+        # reference samples_offset = ceil(window / stride)
+        # (``spatiotemporal_dataset.py:559-561``)
+        offset = -(-w.window // w.stride)
         return Split(idx[:max(val_start - offset, 0)],
                      idx[val_start:max(test_start - offset, 0)],
                      idx[test_start:])

@@ -45,6 +45,10 @@ def encode_dataset(dataset: SpatioTemporalDataset,
     """
     if save_path is not None and os.path.exists(save_path):
         encoded = np.load(save_path)["encoded_x"]
+        if store_dtype is not None:
+            encoded = encoded.astype(store_dtype)
+        if device_resident:
+            encoded = jnp.asarray(encoded)  # back into HBM
         logger.info(f"Loaded cached encoding from {save_path}")
     else:
         # assemble encoder input: scaled target (+ exogenous), node-broadcast
@@ -66,12 +70,13 @@ def encode_dataset(dataset: SpatioTemporalDataset,
             # applied per-chunk inside the encoder so the full-width f32
             # expansion never materializes at once
             enc_kwargs["out_dtype"] = store_dtype
-        try:
-            encoded = encoder(x, dataset.graph, **enc_kwargs)
-        except TypeError:  # encoders without chunk/dtype support (GESN)
-            encoded = encoder(x, dataset.graph)
-            if store_dtype is not None:
-                encoded = encoded.astype(store_dtype)
+        import inspect
+        sig = inspect.signature(encoder.__call__)
+        supported = {k: v for k, v in enc_kwargs.items()
+                     if k in sig.parameters}
+        encoded = encoder(x, dataset.graph, **supported)
+        if store_dtype is not None and "out_dtype" not in supported:
+            encoded = encoded.astype(store_dtype)
         if device_resident:
             import jax
             encoded = jax.block_until_ready(jnp.asarray(encoded))
@@ -80,9 +85,11 @@ def encode_dataset(dataset: SpatioTemporalDataset,
         elapsed = time.time() - start
         logger.info(f"Dataset encoded in {elapsed:.1f}s "
                     f"-> encoded_x {encoded.shape}")
-        if save_path is not None and not device_resident:
+        if save_path is not None:
+            # device_resident encodings transfer to host once here — an
+            # explicit opt-in via save_path (slow on a remote device link)
             os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
-            np.savez(save_path, encoded_x=encoded)
+            np.savez(save_path, encoded_x=np.asarray(encoded))
 
     dataset.add_covariate("encoded_x", encoded, pattern="t n c")
     dataset.set_input_keys(["encoded_x"])

@@ -81,8 +81,9 @@ def run_experiment(args):
     def steps_of(items):
         return ds.indices()[items]
 
-    train_w = steps_of(split.train)[:-horizon] \
-        if len(split.train) > horizon else steps_of(split.train)
+    # dataset.indices() already guarantees start + horizon < T, so no
+    # tail trimming is needed (every window item is a valid solve row)
+    train_w = steps_of(split.train)
     x_train = feats[train_w].reshape(-1, d)
     y_by_lag = [scaled[train_w + lag].reshape(-1, ds.n_channels)
                 for lag in range(1, horizon + 1)]
@@ -93,8 +94,7 @@ def run_experiment(args):
     for name, items in (("val", split.val), ("test", split.test)):
         if not len(items):
             continue
-        w_steps = steps_of(items)[:-horizon] if len(items) > horizon \
-            else steps_of(items)
+        w_steps = steps_of(items)
         x_eval = jnp.asarray(feats[w_steps].reshape(-1, d))
         y_hat_lags, y_lags, m_lags = [], [], []
         for lag, (w, b) in enumerate(solutions, start=1):

@@ -168,14 +168,20 @@ class MLPDecoder(nn.Module):
 
 class StaticGraphEmbedding(nn.Module):
     """Learned per-node embedding table with optional ``token_index``
-    gather (``tsl/nn/base/embedding.py:10-101``)."""
+    gather (``tsl/nn/base/embedding.py:10-101``). Init matches the
+    reference's PyG ``inits.uniform``: U(-1/sqrt(emb), +1/sqrt(emb))."""
     n_tokens: int
     emb_size: int
 
     @nn.compact
     def __call__(self, token_index=None):
-        emb = self.param("emb", nn.initializers.uniform(scale=2.0),
-                         (self.n_tokens, self.emb_size))
+        bound = 1.0 / (self.emb_size ** 0.5)
+
+        def init(key, shape, dtype=jnp.float32):
+            import jax
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        emb = self.param("emb", init, (self.n_tokens, self.emb_size))
         if token_index is not None:
             return emb[token_index]
         return emb

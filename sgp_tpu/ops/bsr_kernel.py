@@ -65,17 +65,16 @@ def _bsr_spmm_padded(blocks, block_rows, block_cols, first_in_row, x_pad,
     return out
 
 
-def bsr_spmm(blocks: jnp.ndarray, block_cols: jnp.ndarray,
-             row_ptr: jnp.ndarray, x: jnp.ndarray,
-             num_nodes: int) -> jnp.ndarray:
-    """``out = A @ x`` for A in BSR form; ``x [N, F]`` -> ``[N, F]``.
-
-    Host-side prep (static per graph): derive per-block row ids and
-    first-in-row markers; guarantee every block row has at least one block
-    (empty rows get an all-zero block) so every output tile is written.
-    """
+def prepare_bsr(blocks: np.ndarray, block_cols: np.ndarray,
+                row_ptr: np.ndarray):
+    """Host-side prep (static per graph, done ONCE at operator build so
+    the kernel entry is jit-safe): derive per-block row ids and
+    first-in-row markers; guarantee every block row has at least one
+    block (empty rows get an all-zero block) so every output tile is
+    written. Returns ``(blocks, rows, cols, first)`` numpy arrays."""
     row_ptr_np = np.asarray(row_ptr)
     cols_np = np.asarray(block_cols)
+    blocks_np = np.asarray(blocks)
     n_br = len(row_ptr_np) - 1
     counts = np.diff(row_ptr_np)
     if (counts == 0).any():
@@ -91,9 +90,9 @@ def bsr_spmm(blocks: jnp.ndarray, block_cols: jnp.ndarray,
                 new_blocks_idx.append(-1)
             new_rows.extend([r] * max(1, e - s))
             new_first.extend([1] + [0] * (max(1, e - s) - 1))
-        zero = jnp.zeros((1, BLOCK, BLOCK), blocks.dtype)
-        padded = jnp.concatenate([blocks, zero], axis=0)
-        blocks = padded[np.asarray(new_blocks_idx)]
+        zero = np.zeros((1, BLOCK, BLOCK), blocks_np.dtype)
+        padded = np.concatenate([blocks_np, zero], axis=0)
+        blocks_np = padded[np.asarray(new_blocks_idx)]
         rows = np.asarray(new_rows, np.int32)
         cols = np.asarray(new_cols, np.int32)
         first = np.asarray(new_first, np.int32)
@@ -102,15 +101,34 @@ def bsr_spmm(blocks: jnp.ndarray, block_cols: jnp.ndarray,
         first = np.zeros(len(cols_np), np.int32)
         first[row_ptr_np[:-1]] = 1
         cols = cols_np.astype(np.int32)
+    return blocks_np, rows, cols, first
 
-    n_pad = n_br * BLOCK
+
+def bsr_spmm_prepared(blocks: jnp.ndarray, rows: jnp.ndarray,
+                      cols: jnp.ndarray, first: jnp.ndarray,
+                      x: jnp.ndarray, num_nodes: int,
+                      n_block_rows: int) -> jnp.ndarray:
+    """Jit-safe kernel entry on prepared arrays (``prepare_bsr``)."""
+    n_pad = n_block_rows * BLOCK
     f = x.shape[-1]
     f_pad = ((f + BLOCK - 1) // BLOCK) * BLOCK
     x_pad = jnp.zeros((n_pad, f_pad), x.dtype)
     x_pad = x_pad.at[:x.shape[0], :f].set(x)
-
     interpret = jax.default_backend() == "cpu"
-    out = _bsr_spmm_padded(blocks, jnp.asarray(rows), jnp.asarray(cols),
-                           jnp.asarray(first), x_pad, num_nodes,
-                           interpret=interpret)
+    out = _bsr_spmm_padded(blocks, rows, cols, first, x_pad,
+                           num_nodes=num_nodes, interpret=interpret)
     return out[:num_nodes, :f]
+
+
+def bsr_spmm(blocks: jnp.ndarray, block_cols: jnp.ndarray,
+             row_ptr: jnp.ndarray, x: jnp.ndarray,
+             num_nodes: int) -> jnp.ndarray:
+    """``out = A @ x`` for raw BSR inputs (host prep inline — NOT
+    jit-safe; prefer :class:`~sgp_tpu.ops.spmm.BSROperator`, which
+    prepares once at build time)."""
+    blocks_np, rows, cols, first = prepare_bsr(blocks, block_cols,
+                                               row_ptr)
+    n_br = len(np.asarray(row_ptr)) - 1
+    return bsr_spmm_prepared(jnp.asarray(blocks_np), jnp.asarray(rows),
+                             jnp.asarray(cols), jnp.asarray(first),
+                             x, num_nodes, n_br)

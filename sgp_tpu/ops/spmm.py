@@ -103,38 +103,61 @@ class COOOperator:
 
 @jax.tree_util.register_pytree_node_class
 class BSROperator:
-    """128x128 block-sparse operator consumed by the Pallas SpMM kernel."""
+    """128x128 block-sparse operator consumed by the Pallas SpMM kernel.
+
+    Construct via :meth:`from_bsr` (host prep happens once there); the
+    instance is then a pure pytree of device arrays, safe to pass through
+    jit (``__matmul__`` never touches host numpy).
+    """
 
     BLOCK = 128
 
-    def __init__(self, blocks, block_cols, row_ptr, num_nodes: int):
-        self.blocks = blocks          # [nnzb, B, B]
-        self.block_cols = block_cols  # [nnzb]
-        self.row_ptr = row_ptr        # [n_block_rows + 1]
+    def __init__(self, blocks, block_rows, block_cols, first_in_row,
+                 num_nodes: int, n_block_rows: int):
+        self.blocks = blocks                # [nnzb, B, B]
+        self.block_rows = block_rows        # [nnzb]
+        self.block_cols = block_cols        # [nnzb]
+        self.first_in_row = first_in_row    # [nnzb] 0/1
         self._num_nodes = int(num_nodes)
+        self._n_block_rows = int(n_block_rows)
+
+    @classmethod
+    def from_bsr(cls, blocks, block_cols, row_ptr, num_nodes: int,
+                 dtype=jnp.float32) -> "BSROperator":
+        from sgp_tpu.ops.bsr_kernel import prepare_bsr
+        import numpy as np
+        b, rows, cols, first = prepare_bsr(blocks, block_cols, row_ptr)
+        return cls(jnp.asarray(b, dtype), jnp.asarray(rows),
+                   jnp.asarray(cols), jnp.asarray(first), num_nodes,
+                   len(np.asarray(row_ptr)) - 1)
 
     @property
     def num_nodes(self) -> int:
         return self._num_nodes
 
     def __matmul__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from sgp_tpu.ops.bsr_kernel import bsr_spmm
+        from sgp_tpu.ops.bsr_kernel import bsr_spmm_prepared
         if x.ndim == 2:
-            return bsr_spmm(self.blocks, self.block_cols, self.row_ptr,
-                            x, self._num_nodes)
+            return bsr_spmm_prepared(self.blocks, self.block_rows,
+                                     self.block_cols, self.first_in_row,
+                                     x, self._num_nodes,
+                                     self._n_block_rows)
         lead = x.shape[:-2]
         flat = x.reshape((-1,) + x.shape[-2:])
-        out = jax.vmap(lambda xi: bsr_spmm(
-            self.blocks, self.block_cols, self.row_ptr, xi,
-            self._num_nodes))(flat)
+        out = jax.vmap(lambda xi: bsr_spmm_prepared(
+            self.blocks, self.block_rows, self.block_cols,
+            self.first_in_row, xi, self._num_nodes,
+            self._n_block_rows))(flat)
         return out.reshape(lead + out.shape[-2:])
 
     def tree_flatten(self):
-        return (self.blocks, self.block_cols, self.row_ptr), self._num_nodes
+        return ((self.blocks, self.block_rows, self.block_cols,
+                 self.first_in_row),
+                (self._num_nodes, self._n_block_rows))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], children[2], aux)
+        return cls(*children, aux[0], aux[1])
 
 
 @jax.tree_util.register_pytree_node_class
@@ -189,8 +212,7 @@ def build_operator(g: Graph, mode: str = "auto", dtype=jnp.float32,
         return DenseOperator(jnp.asarray(g.to_dense(), dtype), precision)
     if mode == "bsr":
         blocks, cols, ptr = g.to_bsr(BSROperator.BLOCK)
-        return BSROperator(jnp.asarray(blocks, dtype), jnp.asarray(cols),
-                           jnp.asarray(ptr), g.num_nodes)
+        return BSROperator.from_bsr(blocks, cols, ptr, g.num_nodes, dtype)
     if mode == "coo":
         return COOOperator(jnp.asarray(g.src), jnp.asarray(g.dst),
                            jnp.asarray(g.weight, dtype), g.num_nodes)

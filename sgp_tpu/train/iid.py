@@ -62,7 +62,11 @@ def make_fused_iid_step(model, optimizer,
         m = msk[t[:, None] + h_off[None, :], n[:, None]]
         kwargs = {}
         if has_u:
-            kwargs["u"] = data[5][t]            # [B, F] window exog
+            u_arr = data[5]
+            if u_arr.ndim == 3:   # node-level [T, N, F] (e.g. keep_raw)
+                kwargs["u"] = u_arr[t, n]       # [B, F] per-sample node
+            else:                 # global [T, F]
+                kwargs["u"] = u_arr[t]
         sc = scaler.index_nodes_iid(n)
         y_hat = model.apply(params, x, node_index=n, training=True,
                             iid=True, rngs={"dropout": rng_d}, **kwargs)

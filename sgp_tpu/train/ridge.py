@@ -68,12 +68,17 @@ def ridge_regression(x: jnp.ndarray, y: jnp.ndarray, alpha: float = 1.0,
 @jax.jit
 def solve_ridge_normal(gram: jnp.ndarray, moment: jnp.ndarray,
                        alpha: float) -> jnp.ndarray:
-    """Cholesky solve of ``(G + alpha I) W = M`` (jittable core — this is
-    the piece that runs replicated after a psum in the sharded path)."""
+    """Solve ``(G + alpha I) W = M`` (jittable core — this is the piece
+    that runs replicated after a psum in the sharded path). Cholesky for
+    alpha > 0; for alpha <= 0 (or a singular Gram) Cholesky would emit
+    silent NaNs, so a least-squares solve is used instead (matching
+    sklearn Ridge's robustness at alpha ~ 0)."""
     d = gram.shape[0]
     a = gram + alpha * jnp.eye(d, dtype=gram.dtype)
     chol = jax.scipy.linalg.cho_factor(a)
-    return jax.scipy.linalg.cho_solve(chol, moment)
+    sol = jax.scipy.linalg.cho_solve(chol, moment)
+    fallback = jnp.linalg.lstsq(a, moment)[0]
+    return jnp.where(jnp.isfinite(sol).all(), sol, fallback)
 
 
 def closed_form_readout(x_train: np.ndarray, targets_by_lag,

