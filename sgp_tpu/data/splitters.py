@@ -164,6 +164,25 @@ def datetime_onehot(index: np.ndarray, units) -> np.ndarray:
     return np.concatenate(cols, axis=-1)
 
 
+def holidays_onehot(index: np.ndarray, country: str = None,
+                    holidays_list=None) -> np.ndarray:
+    """Holiday indicator column (``mixin.py:131-167``). The reference
+    uses the ``holidays`` package (not in this environment); pass
+    explicit ``holidays_list`` of dates instead (``country`` is accepted
+    for signature parity and requires the package if used alone)."""
+    idx_days = np.asarray(index, "datetime64[D]")
+    if holidays_list is None:
+        if country is None:
+            raise ValueError("pass holidays_list (the 'holidays' package "
+                             "is unavailable in this environment)")
+        import holidays as _hol  # pragma: no cover (not installed)
+        years = np.unique(idx_days.astype("datetime64[Y]")).astype(str)
+        holidays_list = list(_hol.country_holidays(
+            country, years=[int(y) for y in years]))
+    hol = np.asarray(holidays_list, "datetime64[D]")
+    return np.isin(idx_days, hol).astype(np.float32)[:, None]
+
+
 def datetime_encoded(index: np.ndarray, units) -> np.ndarray:
     """Sin/cos encodings of timestamp phase within each unit
     (``tsl/datasets/prototypes/mixin.py:97-115``). Returns

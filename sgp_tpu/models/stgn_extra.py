@@ -339,6 +339,80 @@ class RNNEncGCNDecModel(nn.Module):
                           dropout=self.dropout)(h, op, training=training)
 
 
+class LinkPredictor(nn.Module):
+    """Pairwise score matrix from node embeddings
+    (``tsl/nn/layers/link_predictor.py:7-60``):
+    ``S = MLP_s(E) MLP_t(E)^T``."""
+    ff_size: int
+    hidden_size: int
+    activation: str = "relu"
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        act = get_activation(self.activation)
+
+        def branch(v):
+            v = act(nn.Dense(self.ff_size)(v))
+            if self.dropout > 0:
+                v = nn.Dropout(self.dropout,
+                               deterministic=not training)(v)
+            return nn.Dense(self.hidden_size)(v)
+        z_s, z_t = branch(x), branch(x)
+        return jnp.einsum("...ik,...jk->...ij", z_s, z_t)
+
+
+class DifferentiableBinarySampler(nn.Module):
+    """Gumbel-max Bernoulli relaxation
+    (``blocks/encoders/nri_dcrnn.py:12-29``)."""
+
+    @nn.compact
+    def __call__(self, scores, tau, rng):
+        import jax
+        eps = 1e-8
+        unif = jax.random.uniform(rng, scores.shape)
+        logit = (jnp.log(scores + eps) - jnp.log(1 - scores + eps)
+                 + jnp.log(unif + eps) - jnp.log(1 - unif + eps))
+        return nn.sigmoid(logit / tau)
+
+
+class NRIDCRNN(nn.Module):
+    """Neural-relational-inference DCRNN
+    (``nri_dcrnn.py:33-69`` NeuRelInfDCRNN): dense adjacency learned by
+    a LinkPredictor over static node embeddings, sampled with the
+    Gumbel trick, driving DenseDCRNN cells."""
+    hidden_size: int
+    emb_size: int
+    n_nodes: int
+    n_layers: int = 1
+    k: int = 2
+    tau: float = 0.25
+
+    @nn.compact
+    def __call__(self, x, rng=None, training: bool = False):
+        from sgp_tpu.models.blocks import StaticGraphEmbedding
+        import jax
+        emb = StaticGraphEmbedding(self.n_nodes, self.emb_size)()
+        scores = nn.sigmoid(LinkPredictor(
+            self.hidden_size, self.hidden_size)(emb,
+                                                training=training))
+        if training and rng is not None:
+            adj = DifferentiableBinarySampler()(scores, self.tau, rng)
+        else:
+            adj = (scores > 0.5).astype(x.dtype)
+        b, s, n, _ = x.shape
+        cells = [DenseDCRNNCell(self.hidden_size, self.k)
+                 for _ in range(self.n_layers)]
+        h = [jnp.zeros((b, n, self.hidden_size), x.dtype)
+             for _ in range(self.n_layers)]
+        for t in range(s):
+            inp = x[:, t]
+            for i, cell in enumerate(cells):
+                h[i] = cell(inp, h[i], adj)
+                inp = h[i]
+        return h[-1]
+
+
 # -- nn ops (``tsl/nn/ops/ops.py:9-39``) ----------------------------------
 
 class Lambda(nn.Module):

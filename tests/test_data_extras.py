@@ -76,3 +76,13 @@ def test_mts_benchmark_loader(rng, tmp_path):
     assert sim.shape == (5, 5)
     g = d.get_connectivity(method="pearson", knn=2, include_self=False)
     assert g.num_edges > 0
+
+
+def test_holidays_onehot():
+    from sgp_tpu.data.splitters import holidays_onehot
+    index = (np.datetime64("2021-12-24T00:00")
+             + np.arange(5 * 24) * np.timedelta64(1, "h")
+             ).astype("datetime64[ns]")
+    out = holidays_onehot(index, holidays_list=["2021-12-25"])
+    assert out.shape == (120, 1)
+    assert out[24:48].all() and not out[:24].any()

@@ -218,3 +218,19 @@ def test_imputer_train_step(rng, graph):
     p2, _, loss = step(params, opt.init(params),
                        {"x": x, "mask": mask}, rngk)
     assert np.isfinite(float(loss))
+
+
+def test_link_predictor_and_nri(rng):
+    from sgp_tpu.models.stgn_extra import LinkPredictor, NRIDCRNN
+    x = jnp.asarray(rng.standard_normal((10, 6)).astype(np.float32))
+    _, scores = init_apply(LinkPredictor(ff_size=8, hidden_size=4), x)
+    assert scores.shape == (10, 10)
+    xb = jnp.asarray(rng.standard_normal((2, 5, 10, 3)).astype(np.float32))
+    m = NRIDCRNN(hidden_size=8, emb_size=4, n_nodes=10, k=1)
+    rngk = jax.random.PRNGKey(0)
+    params = m.init({"params": rngk, "dropout": rngk}, xb)
+    out = m.apply(params, xb)
+    assert out.shape == (2, 10, 8)
+    # training mode samples the adjacency differentiably
+    out_t = m.apply(params, xb, rng=rngk, training=True)
+    assert np.isfinite(np.asarray(out_t)).all()
