@@ -125,12 +125,15 @@ class Reservoir:
         return self.num_layers * self.hidden_size
 
     def __call__(self, x: jnp.ndarray, h0=None,
-                 return_last_state: bool = False) -> jnp.ndarray:
+                 return_last_state: bool = False,
+                 out_dtype=None) -> jnp.ndarray:
         """Run the scan. ``x [T, N, F]`` (or ``[T, B, F]`` — any flat
         batch axis) -> ``[T, N, L*H]``; ``return_last_state`` gives only
-        the final step ``[N, L*H]``."""
+        the final step ``[N, L*H]``. ``out_dtype`` (e.g. bf16) casts each
+        step's output INSIDE the scan, so the f32 state history is never
+        materialized (halves the output HBM footprint)."""
         return reservoir_scan(tuple(self.layers), self.activation, x, h0,
-                              return_last_state)
+                              return_last_state, out_dtype=out_dtype)
 
     def step(self, h: Sequence[jnp.ndarray], x_t: jnp.ndarray):
         """Single-step update (streaming / incremental encoding)."""
@@ -152,9 +155,10 @@ def _reservoir_step(layers, act, h, x_t):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("activation", "return_last_state"))
+                   static_argnames=("activation", "return_last_state",
+                                    "out_dtype"))
 def reservoir_scan(layers, activation: str, x, h0=None,
-                   return_last_state: bool = False):
+                   return_last_state: bool = False, out_dtype=None):
     act = _ACTIVATIONS[activation]
     batch_shape = x.shape[1:-1]
     x2 = x.reshape(x.shape[0], -1, x.shape[-1])  # [T, B, F]
@@ -164,7 +168,10 @@ def reservoir_scan(layers, activation: str, x, h0=None,
 
     def step(h, x_t):
         new_h = _reservoir_step(layers, act, h, x_t)
-        return new_h, jnp.concatenate(new_h, axis=-1)
+        out_t = jnp.concatenate(new_h, axis=-1)
+        if out_dtype is not None:
+            out_t = out_t.astype(out_dtype)
+        return new_h, out_t
 
     last_h, out = jax.lax.scan(step, list(h0), x2)
     if return_last_state:

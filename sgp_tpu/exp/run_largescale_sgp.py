@@ -34,6 +34,8 @@ from sgp_tpu.utils.logging import logger
 
 
 def run_experiment(args):
+    if getattr(args, "iid_stratified", False):
+        return run_experiment_stratified(args)
     from sgp_tpu.exp.common import dataset_kwargs
     dataset = get_dataset(args.dataset_name, **dataset_kwargs(args))
     exog = dataset.datetime_encoded("day")
@@ -128,5 +130,120 @@ def run_experiment(args):
     return results
 
 
+def run_experiment_stratified(args):
+    """Beyond-HBM path: only the reservoir (temporal) embedding stays
+    resident; spatial propagation happens inside the fused step
+    (``make_fused_iid_stratified_step``) — the full (k+1)x expansion is
+    never materialized, so series too long for the precompute path train
+    on one chip."""
+    from sgp_tpu.data.sgp_loader import build_support_operators
+    from sgp_tpu.encode import Reservoir
+    from sgp_tpu.exp.common import dataset_kwargs
+    from sgp_tpu.exp.run_traffic_sgp import derive_order
+    from sgp_tpu.train.iid import make_fused_iid_stratified_step
+
+    dataset = get_dataset(args.dataset_name, **dataset_kwargs(args))
+    exog = dataset.datetime_encoded("day")
+    graph = dataset.get_connectivity(knn=args.adj_knn, threshold=None,
+                                     include_self=False)
+    logger.info(f"graph: {graph.num_nodes} nodes, {graph.num_edges} edges")
+    ds = SpatioTemporalDataset(
+        dataset.target, index=dataset.index, mask=dataset.mask,
+        graph=graph, covariates={"u": exog},
+        windowing=Windowing(window=args.window, horizon=args.horizon,
+                            horizon_lag=args.horizon_lag))
+    split = get_splitter(args.dataset_name, args.val_len,
+                         args.test_len).split(ds)
+    ds.fit_scaler(RobustScaler(axis=(0, 1), quantile_range=(10., 90.)),
+                  step_index=ds.indices()[split.train])
+
+    input_size = ds.n_channels + (exog.shape[-1]
+                                  if args.preprocess_exogenous else 0)
+    res = Reservoir(input_size=input_size,
+                    hidden_size=args.reservoir_size,
+                    num_layers=args.reservoir_layers,
+                    leaking_rate=args.leaking_rate,
+                    spectral_radius=args.spectral_radius,
+                    density=args.density, alpha_decay=args.alpha_decay,
+                    input_scaling=args.input_scaling,
+                    activation=args.reservoir_activation,
+                    seed=args.seed)
+    prev = list(ds.input_keys)
+    ds.set_input_keys(["target_scaled"]
+                      + (["u"] if args.preprocess_exogenous else []))
+    x_series = jnp.asarray(ds.input_array())
+    ds.set_input_keys(prev)
+    t0 = time.time()
+    h_temporal = jax.block_until_ready(
+        res(x_series, out_dtype=args.encode_dtype or "bfloat16"))
+    del x_series
+    logger.info(f"reservoir encode {h_temporal.shape} in "
+                f"{time.time() - t0:.1f}s (resident bf16)")
+
+    ops = build_support_operators(
+        ds.graph, k=args.receptive_field,
+        undirected=args.undirected, add_loops=args.add_self_loops,
+        bidirectional=args.bidirectional, global_attr=False)
+    order = derive_order(args)
+    d_total = int(h_temporal.shape[-1]) * (1 + len(ops)
+                                           + (1 if args.global_attr else 0))
+    u_arr = ds.exog_array()
+    u = None if u_arr is None else jnp.asarray(u_arr)
+    u_size = 0 if u is None else int(u.shape[-1])
+
+    model = SGPModel(
+        input_size=d_total, order=order, n_nodes=ds.n_nodes,
+        hidden_size=args.hidden_size, mlp_size=args.mlp_size,
+        output_size=ds.n_channels, n_layers=args.n_layers,
+        horizon=ds.windowing.horizon_steps,
+        positional_encoding=args.positional_encoding,
+        emb_size=args.emb_size, exog_size=u_size, resnet=args.resnet,
+        fully_connected=args.fully_connected, dropout=args.dropout)
+    key = jax.random.PRNGKey(args.seed)
+    params = model.init(
+        {"params": key, "dropout": key}, jnp.zeros((4, d_total)),
+        node_index=jnp.zeros(4, jnp.int32), iid=True,
+        **({"u": jnp.zeros((4, u_size))} if u_size else {}))
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(args.grad_clip_val),
+        optax.adam(args.lr))
+    opt_state = optimizer.init(params)
+
+    batches_epoch = args.batches_epoch if args.batches_epoch > 0 else 32
+    times_per_batch = getattr(args, "times_per_batch", 32)
+    nodes_per_time = max(args.batch_size // times_per_batch, 1)
+    step = make_fused_iid_stratified_step(
+        model, optimizer, h_temporal, jnp.asarray(ds.target),
+        jnp.asarray(ds.mask), jnp.asarray(ds.indices()[split.train]),
+        jnp.asarray(ds.windowing.horizon_offsets()), ds.scaler_params(),
+        ops, global_attr=args.global_attr, u=u,
+        times_per_batch=times_per_batch,
+        nodes_per_time=nodes_per_time,
+        scale_target=args.scale_target, steps_per_call=batches_epoch)
+
+    t0 = time.time()
+    best_loss, best_params = np.inf, params
+    for epoch in range(args.epochs):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, k)
+        loss = float(loss)
+        if loss < best_loss:
+            best_loss, best_params = loss, params
+        if epoch % max(1, args.epochs // 20) == 0:
+            bps = batches_epoch * (epoch + 1) / max(time.time() - t0,
+                                                    1e-9)
+            logger.info(f"epoch {epoch}: train_mae={loss:.4f} "
+                        f"({bps:.1f} batch/s)")
+    train_time = time.time() - t0
+    logger.info(f"train done in {train_time:.1f}s")
+    results = {"train_mae": best_loss, "train_time_s": train_time}
+    logger.info(f"results: {results}")
+    return results
+
+
 if __name__ == "__main__":
-    Experiment(run_experiment, configure_parser()).run()
+    from sgp_tpu.exp.common import str2bool
+    parser = configure_parser()
+    parser.add_argument("--iid-stratified", type=str2bool, default=False)
+    parser.add_argument("--times-per-batch", type=int, default=32)
+    Experiment(run_experiment, parser).run()

@@ -129,6 +129,101 @@ def make_fused_iid_multi_step(model, optimizer, encoded, target, mask,
     return multi_step
 
 
+def make_fused_iid_stratified_step(model, optimizer,
+                                   h_temporal: jnp.ndarray,  # [T, N, Ht]
+                                   target: jnp.ndarray,
+                                   mask: jnp.ndarray,
+                                   valid_starts: jnp.ndarray,
+                                   horizon_offsets: jnp.ndarray,
+                                   scaler: ScalerParams,
+                                   support_ops,     # spatial operators
+                                   global_attr: bool = True,
+                                   u: Optional[jnp.ndarray] = None,
+                                   times_per_batch: int = 32,
+                                   nodes_per_time: int = 128,
+                                   loss: str = "mae",
+                                   scale_target: bool = False,
+                                   steps_per_call: int = 1) -> Callable:
+    """Stratified IID training with ON-THE-FLY spatial propagation.
+
+    For encodings too large for HBM (full-year PV-US: the (k+1)x
+    expansion is ~45 GB) only the *temporal* (reservoir) embedding
+    ``h_temporal`` stays resident (k+1 times smaller); each step draws
+    ``times_per_batch`` window starts, K-hop-propagates just those
+    steps' states through the support operators on the MXU, then samples
+    ``nodes_per_time`` nodes per time — a batch of
+    ``times_per_batch * nodes_per_time`` (time, node) pairs. Uniform
+    over pairs (times uniform with replacement, nodes uniform per
+    time); samples within a step share times — statistically benign for
+    SGD and the only structure that avoids materializing the full
+    expansion (documented divergence from per-pair IID).
+    """
+    loss_pt = _METRIC_FNS[loss]
+    n_nodes = h_temporal.shape[1]
+    batch_size = times_per_batch * nodes_per_time
+    has_u = u is not None
+    # support operators travel INSIDE the jit-arg pytree — closed-over
+    # dense [N, N] supports would become jaxpr constants (host transfer
+    # + XLA folding stall; see CLAUDE.md)
+    data = (h_temporal, target, mask, valid_starts, horizon_offsets,
+            tuple(support_ops)) + ((u,) if has_u else ())
+
+    def sample_and_loss(params, rng, data):
+        ht, tgt, msk, valid, h_off, ops = data[:6]
+        rng_t, rng_n, rng_d = jax.random.split(rng, 3)
+        t = jax.random.choice(rng_t, valid, (times_per_batch,))
+        h_sel = ht[t]                          # [Tb, N, Ht]
+        parts = [h_sel]
+        for op in ops:
+            parts.append(op @ h_sel)
+        if global_attr:
+            parts.append(jnp.broadcast_to(
+                h_sel.mean(-2, keepdims=True), h_sel.shape))
+        x_all = jnp.concatenate(parts, -1)     # [Tb, N, D]
+        n = jax.random.randint(rng_n, (times_per_batch, nodes_per_time),
+                               0, n_nodes)
+        x = jnp.take_along_axis(
+            x_all, n[:, :, None], axis=1
+        ).reshape(batch_size, -1)              # [B, D]
+        t_flat = jnp.repeat(t, nodes_per_time)
+        n_flat = n.reshape(-1)
+        y = tgt[t_flat[:, None] + h_off[None, :], n_flat[:, None]]
+        m = msk[t_flat[:, None] + h_off[None, :], n_flat[:, None]]
+        kwargs = {}
+        if has_u:
+            u_arr = data[6]
+            kwargs["u"] = (u_arr[t_flat, n_flat] if u_arr.ndim == 3
+                           else u_arr[t_flat])
+        sc = scaler.index_nodes_iid(n_flat)
+        y_hat = model.apply(params, x, node_index=n_flat, training=True,
+                            iid=True, rngs={"dropout": rng_d}, **kwargs)
+        if scale_target:
+            y_ref = sc.transform(y)
+        else:
+            y_hat = sc.inverse_transform(y_hat)
+            y_ref = y
+        v, cnt = _masked_reduce(loss_pt, y_hat, y_ref, m)
+        return v / jnp.maximum(cnt, 1.0)
+
+    @jax.jit
+    def _multi(params, opt_state, rng, data):
+        def body(carry, key):
+            p, s = carry
+            loss_val, grads = jax.value_and_grad(sample_and_loss)(
+                p, key, data)
+            updates, s = optimizer.update(grads, s, p)
+            return (optax.apply_updates(p, updates), s), loss_val
+        keys = jax.random.split(rng, max(steps_per_call, 1))
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), keys)
+        return params, opt_state, losses.mean()
+
+    def step(params, opt_state, rng):
+        return _multi(params, opt_state, rng, data)
+
+    return step
+
+
 def fused_iid_inputs(dataset: SpatioTemporalDataset, dtype=jnp.float32):
     """Lift the dataset tensors needed by the fused step into HBM.
     Device-resident inputs keep their stored dtype (e.g. bf16 encodings

@@ -4,7 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from sgp_tpu.data import (SpatioTemporalDataset, StandardScaler, Windowing)
+from sgp_tpu.data import (ScalerParams, SpatioTemporalDataset, StandardScaler,
+                          Windowing)
 from sgp_tpu.models import SGPModel
 from sgp_tpu.train.iid import fused_iid_inputs, make_fused_iid_step
 
@@ -125,3 +126,52 @@ def test_bsr_operator_inside_jit(rng):
     out = np.asarray(f(op, x))
     np.testing.assert_allclose(out, g.to_dense() @ np.asarray(x),
                                atol=1e-4)
+
+
+def test_stratified_step_matches_precomputed_semantics(rng):
+    """On-the-fly propagation in the stratified step gives the same
+    features a precomputed (k+1)x embedding would."""
+    import optax
+    from sgp_tpu.data.sgp_loader import build_support_operators
+    from sgp_tpu.graph import Graph, coalesce
+    from sgp_tpu.train.iid import make_fused_iid_stratified_step
+    t, n, h_dim = 80, 12, 6
+    g = coalesce(Graph(rng.integers(0, n, 50), rng.integers(0, n, 50),
+                       rng.random(50).astype(np.float32), n))
+    ops = build_support_operators(g, k=2)
+    h_temporal = rng.standard_normal((t, n, h_dim)).astype(np.float32)
+    target = rng.standard_normal((t, n, 1)).astype(np.float32)
+    d_total = h_dim * (1 + len(ops) + 1)  # + global
+    model = SGPModel(input_size=d_total, order=4, n_nodes=n,
+                     hidden_size=16, mlp_size=8, output_size=1,
+                     n_layers=1, horizon=2, positional_encoding=False)
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "dropout": key},
+                        jnp.zeros((4, d_total)),
+                        node_index=jnp.zeros(4, jnp.int32), iid=True)
+    opt = optax.adam(1e-3)
+    step = make_fused_iid_stratified_step(
+        model, opt, jnp.asarray(h_temporal), jnp.asarray(target),
+        jnp.ones((t, n, 1), bool), jnp.arange(t - 3), 1 + jnp.arange(2),
+        ScalerParams(jnp.zeros(1), jnp.ones(1)), ops, global_attr=True,
+        times_per_batch=4, nodes_per_time=8, steps_per_call=5)
+    p, s, loss = step(params, opt.init(params), key)
+    assert np.isfinite(float(loss))
+    # and it learns on a learnable problem
+    e_static = np.broadcast_to(
+        rng.standard_normal((1, n, h_dim)).astype(np.float32), (t, n, h_dim)
+    ).copy()
+    w_true = rng.standard_normal((h_dim, 1)).astype(np.float32)
+    tgt2 = e_static @ w_true
+    step2 = make_fused_iid_stratified_step(
+        model, opt, jnp.asarray(e_static), jnp.asarray(tgt2),
+        jnp.ones((t, n, 1), bool), jnp.arange(t - 3), 1 + jnp.arange(2),
+        ScalerParams(jnp.zeros(1), jnp.ones(1)), ops, global_attr=True,
+        times_per_batch=8, nodes_per_time=16, steps_per_call=40)
+    st2 = opt.init(params)
+    p2, losses = params, []
+    for i in range(6):
+        key, k = jax.random.split(key)
+        p2, st2, l = step2(p2, st2, k)
+        losses.append(float(l))
+    assert losses[-1] < 0.6 * losses[0], losses
