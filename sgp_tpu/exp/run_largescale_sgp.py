@@ -187,6 +187,12 @@ def run_experiment_stratified(args):
     order = derive_order(args)
     d_total = int(h_temporal.shape[-1]) * (1 + len(ops)
                                            + (1 if args.global_attr else 0))
+    # decoder exogenous mirrors encode_dataset's rewiring
+    # (``lib/utils.py:40-46``): the datetime exog goes to the decoder
+    # only if NOT already encoded into the reservoir; keep_raw adds the
+    # scaled raw series
+    ds.exog_keys = ([] if args.preprocess_exogenous else ["u"]) \
+        + (["target_scaled"] if args.keep_raw else [])
     u_arr = ds.exog_array()
     u = None if u_arr is None else jnp.asarray(u_arr)
     u_size = 0 if u is None else int(u.shape[-1])
@@ -236,7 +242,26 @@ def run_experiment_stratified(args):
                         f"({bps:.1f} batch/s)")
     train_time = time.time() - t0
     logger.info(f"train done in {train_time:.1f}s")
-    results = {"train_mae": best_loss, "train_time_s": train_time}
+
+    # full-graph test evaluation: the reservoir embedding becomes the
+    # dataset input and SGPLoader applies the same supports (+ global
+    # mean operator — identical math to the in-step propagation)
+    from sgp_tpu.data.sgp_loader import SGPLoader
+    from sgp_tpu.ops import GlobalMeanOperator
+    ds.add_covariate("encoded_x", h_temporal, pattern="t n c")
+    ds.set_input_keys(["encoded_x"])
+    eval_ops = list(ops) + ([GlobalMeanOperator(ds.n_nodes)]
+                            if args.global_attr else [])
+    metrics = MaskedMetrics.forecasting()
+    predictor = Predictor(model, metrics=metrics)
+    predictor.params = best_params
+    predictor._build_steps(ds.scaler_params())
+    predictor.save(f"{args.logdir}/best.msgpack")
+    test_loader = SGPLoader(ds, eval_ops, items=split.test,
+                            batch_size=args.batch_inference or 16)
+    results = predictor.evaluate(test_loader, prefix="test_")
+    results["train_mae"] = best_loss
+    results["train_time_s"] = train_time
     logger.info(f"results: {results}")
     return results
 

@@ -23,18 +23,31 @@ from sgp_tpu.ops.spmm import Operator
 
 class DenseSpatialConvOrderK(nn.Module):
     """Dense order-K diffusion with a batch-shared dense adjacency
-    (``dense_spatial_conv.py``); ``include_self=False``."""
+    (``dense_spatial_conv.py``); ``include_self=False``. ``adj`` may be
+    a single ``[n, n]`` row-stochastic support or a stacked ``[s, n, n]``
+    list of supports (``compute_support``'s forward+backward pair)."""
     output_size: int
     order: int = 2
 
+    @staticmethod
+    def compute_support(adj):
+        """Row-normalized forward + backward supports from a raw dense
+        adjacency (``dense_spatial_conv.py:34-41``)."""
+        eps = 1e-8
+        fwd = adj / (adj.sum(1, keepdims=True) + eps)
+        bwd = adj.T / (adj.T.sum(1, keepdims=True) + eps)
+        return jnp.stack([fwd, bwd])
+
     @nn.compact
     def __call__(self, x, adj):
-        # x: [b s n c]; adj: [n, n] row-stochastic (dst <- src on rows)
+        # x: [b s n c]
+        supports = adj[None] if adj.ndim == 2 else adj
         out = []
-        cur = x
-        for _ in range(self.order):
-            cur = jnp.einsum("ij,bsjc->bsic", adj, cur)
-            out.append(cur)
+        for i in range(supports.shape[0]):
+            cur = x
+            for _ in range(self.order):
+                cur = jnp.einsum("ij,bsjc->bsic", supports[i], cur)
+                out.append(cur)
         return nn.Dense(self.output_size)(jnp.concatenate(out, -1))
 
 

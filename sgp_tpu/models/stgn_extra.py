@@ -391,15 +391,22 @@ class NRIDCRNN(nn.Module):
     @nn.compact
     def __call__(self, x, rng=None, training: bool = False):
         from sgp_tpu.models.blocks import StaticGraphEmbedding
+        from sgp_tpu.models.gwnet import DenseSpatialConvOrderK
         import jax
         emb = StaticGraphEmbedding(self.n_nodes, self.emb_size)()
         scores = nn.sigmoid(LinkPredictor(
             self.hidden_size, self.hidden_size)(emb,
                                                 training=training))
-        if training and rng is not None:
-            adj = DifferentiableBinarySampler()(scores, self.tau, rng)
+        # the reference samples unconditionally (train AND eval,
+        # nri_dcrnn.py forward); without an rng fall back to the mean
+        # adjacency (documented divergence for deterministic eval)
+        if rng is not None:
+            adj_raw = DifferentiableBinarySampler()(scores, self.tau, rng)
         else:
-            adj = (scores > 0.5).astype(x.dtype)
+            adj_raw = scores
+        # row-normalized forward+backward supports (compute_support,
+        # dense_dcrnn.py) — DenseDCRNNCell expects row-stochastic input
+        adj = DenseSpatialConvOrderK.compute_support(adj_raw)
         b, s, n, _ = x.shape
         cells = [DenseDCRNNCell(self.hidden_size, self.k)
                  for _ in range(self.n_layers)]

@@ -128,6 +128,33 @@ def test_bsr_operator_inside_jit(rng):
                                atol=1e-4)
 
 
+def test_stratified_features_match_precompute(rng):
+    """The stratified step's feature assembly [h, A h, ..., mean(h)]
+    must equal apply_support's precomputed layout at the sampled
+    (time, node) pairs — pinned by replicating the in-step assembly."""
+    import jax
+    import jax.numpy as jnp
+    from sgp_tpu.data.sgp_loader import apply_support, build_support_operators
+    from sgp_tpu.graph import Graph, coalesce
+    from sgp_tpu.ops import GlobalMeanOperator
+    t, n, h_dim = 40, 10, 4
+    g = coalesce(Graph(rng.integers(0, n, 40), rng.integers(0, n, 40),
+                       rng.random(40).astype(np.float32), n))
+    ops = build_support_operators(g, k=2)
+    h = jnp.asarray(rng.standard_normal((t, n, h_dim)).astype(np.float32))
+    t_idx = jnp.asarray([3, 17, 5])
+    # in-step assembly (mirrors make_fused_iid_stratified_step)
+    h_sel = h[t_idx]
+    parts = [h_sel] + [op @ h_sel for op in ops]
+    parts.append(jnp.broadcast_to(h_sel.mean(-2, keepdims=True),
+                                  h_sel.shape))
+    x_step = np.asarray(jnp.concatenate(parts, -1))
+    # precompute layout: apply_support with ops + global-mean operator
+    full = np.asarray(apply_support(
+        h, ops + [GlobalMeanOperator(n)]))
+    np.testing.assert_allclose(x_step, full[np.asarray(t_idx)], atol=1e-5)
+
+
 def test_stratified_step_matches_precomputed_semantics(rng):
     """On-the-fly propagation in the stratified step gives the same
     features a precomputed (k+1)x embedding would."""
