@@ -14,12 +14,10 @@ its own slice of the sample batch from its replicated/sharded arrays) —
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from sgp_tpu.data.scalers import ScalerParams

@@ -10,7 +10,7 @@ mask; window edges can be trimmed from the loss
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
