@@ -31,3 +31,18 @@ def local_mesh(model_axis: int = 1) -> Mesh:
     n = len(jax.devices())
     assert n % model_axis == 0
     return make_mesh(n // model_axis, model_axis)
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host initialization (SURVEY.md §5.8): call once per host
+    before any mesh construction on a pod slice. No-op when running
+    single-process (the only mode available in this environment).
+    Returns the process count."""
+    if num_processes is None or num_processes <= 1:
+        return 1
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id)
+    return jax.process_count()

@@ -176,6 +176,20 @@ class Predictor:
             [np.asarray(self._predict_step(self.params, _to_device(b)))
              for b in loader], axis=0)
 
+    def predict_loader(self, loader):
+        """Predictions + targets + mask over a loader
+        (``base_predictor.py:183-211`` predict_loader). Returns
+        ``(y, y_hat, mask)`` numpy arrays concatenated over batches."""
+        ys, yhs, ms = [], [], []
+        for b in loader:
+            db = _to_device(b)
+            yhs.append(np.asarray(self._predict_step(self.params, db)))
+            ys.append(np.asarray(b["y"]))
+            ms.append(None if b.get("mask") is None
+                      else np.asarray(b["mask"]))
+        mask = None if ms[0] is None else np.concatenate(ms, 0)
+        return (np.concatenate(ys, 0), np.concatenate(yhs, 0), mask)
+
     def fit(self, train_loader, val_loader=None, epochs: int = 1,
             patience: Optional[int] = None, monitor: str = "mae",
             log_every: int = 1, scaler: Optional[ScalerParams] = None):
