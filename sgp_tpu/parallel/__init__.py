@@ -1,7 +1,8 @@
-from sgp_tpu.parallel.mesh import make_mesh, local_mesh
-from sgp_tpu.parallel.sharding import (shard_batch, shard_operator,
-                                       shard_params_tp, sharded_ridge,
-                                       sharded_spmm)
+from sgp_tpu.parallel.mesh import init_distributed, local_mesh, make_mesh
+from sgp_tpu.parallel.sharding import (make_sharded_iid_step, shard_batch,
+                                       shard_operator, shard_params_tp,
+                                       sharded_ridge, sharded_spmm)
 
-__all__ = ["make_mesh", "local_mesh", "shard_batch", "shard_operator",
+__all__ = ["init_distributed", "local_mesh", "make_mesh",
+           "make_sharded_iid_step", "shard_batch", "shard_operator",
            "shard_params_tp", "sharded_ridge", "sharded_spmm"]

@@ -82,6 +82,89 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
         tree)
 
 
+def make_sharded_iid_step(model, optimizer, encoded, target, mask,
+                          valid_starts, horizon_offsets, scaler,
+                          mesh: Mesh, u=None, batch_size: int = 4096,
+                          loss: str = "mae",
+                          scale_target: bool = False):
+    """Data-parallel fused IID training over the ``data`` mesh axis.
+
+    Each device draws its own ``batch_size / n_data`` slice of the
+    sample batch from the (replicated) HBM-resident arrays — the host
+    still only ships an RNG key — and gradients are psum-reduced by
+    shard_map. Params/opt state replicated. This is the pod-scale DP
+    form of ``sgp_tpu.train.iid.make_fused_iid_step``; per-device
+    sampling is decorrelated by folding in the device index.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from sgp_tpu.train.iid import make_fused_iid_step
+    from sgp_tpu.train.metrics import _METRIC_FNS, _masked_reduce
+
+    n_data = mesh.shape["data"]
+    assert batch_size % n_data == 0
+    local_bs = batch_size // n_data
+    loss_pt = _METRIC_FNS[loss]
+    n_nodes = encoded.shape[1]
+    has_u = u is not None
+    data = (encoded, target, mask, valid_starts, horizon_offsets) \
+        + ((u,) if has_u else ())
+    repl = P()
+
+    def local_loss(params, rng, data):
+        enc, tgt, msk, valid, h_off = data[:5]
+        # decorrelate per-device streams
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        rng_t, rng_n, rng_d = jax.random.split(rng, 3)
+        t = jax.random.choice(rng_t, valid, (local_bs,))
+        n = jax.random.randint(rng_n, (local_bs,), 0, n_nodes)
+        x = enc[t, n]
+        y = tgt[t[:, None] + h_off[None, :], n[:, None]]
+        m = msk[t[:, None] + h_off[None, :], n[:, None]]
+        kwargs = {}
+        if has_u:
+            u_arr = data[5]
+            kwargs["u"] = (u_arr[t, n] if u_arr.ndim == 3
+                           else u_arr[t])
+        sc = scaler.index_nodes_iid(n)
+        y_hat = model.apply(params, x, node_index=n, training=True,
+                            iid=True, rngs={"dropout": rng_d}, **kwargs)
+        if scale_target:
+            y_ref = sc.transform(y)
+        else:
+            y_hat = sc.inverse_transform(y_hat)
+            y_ref = y
+        v, cnt = _masked_reduce(loss_pt, y_hat, y_ref, m)
+        v = jax.lax.psum(v, "data")
+        cnt = jax.lax.psum(cnt, "data")
+        return v / jnp.maximum(cnt, 1.0)
+
+    import optax
+
+    def local_step(params, opt_state, rng, data):
+        loss_val, grads = jax.value_and_grad(local_loss)(
+            params, rng, data)
+        # backward of psum is identity: per-device grads cover only the
+        # local samples — psum them for the full-batch gradient (keeps
+        # replicated params bit-identical across devices)
+        grads = jax.lax.psum(grads, "data")
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss_val
+
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(repl, repl, repl, repl),
+        out_specs=(repl, repl, repl),
+        check_rep=False)
+    jitted = jax.jit(sharded)
+
+    def step(params, opt_state, rng):
+        return jitted(params, opt_state, rng, data)
+
+    return step
+
+
 def sharded_ridge(x_shards, y_shards, alpha: float, mesh: Mesh):
     """Distributed normal-equations ridge: each data shard computes its
     Gram/moment contribution, psum over ``data``, Cholesky replicated
