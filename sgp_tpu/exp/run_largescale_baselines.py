@@ -118,7 +118,8 @@ def run_experiment(args):
     # monitor train loss (no val loader during fit,
     # run_largescale_*.py:289-304 pattern)
     predictor.fit(train_loader, None, epochs=args.epochs,
-                  patience=args.patience, scaler=ds.scaler_params())
+                  patience=args.patience, scaler=ds.scaler_params(),
+                  logdir=args.logdir)
     predictor.save(f"{args.logdir}/best.msgpack")
     results = predictor.evaluate(test_loader, prefix="test_")
     logger.info(f"test: {results}")

@@ -189,7 +189,8 @@ def run_experiment(args):
     val_loader = WindowedLoader(ds, split.val, batch_size=infer_bs)
     test_loader = WindowedLoader(ds, split.test, batch_size=infer_bs)
     predictor.fit(train_loader, val_loader, epochs=args.epochs,
-                  patience=args.patience, scaler=ds.scaler_params())
+                  patience=args.patience, scaler=ds.scaler_params(),
+                  logdir=args.logdir)
     predictor.save(f"{args.logdir}/best.msgpack")
     results = predictor.evaluate(test_loader, prefix="test_")
     logger.info(f"test: {results}")

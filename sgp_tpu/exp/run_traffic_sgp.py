@@ -241,7 +241,8 @@ def run_experiment(args):
                    support_ops, batches_epoch)
     else:
         predictor.fit(train_loader, val_loader, epochs=args.epochs,
-                      patience=args.patience, scaler=ds.scaler_params())
+                      patience=args.patience, scaler=ds.scaler_params(),
+                      logdir=args.logdir)
     predictor.save(f"{args.logdir}/best.msgpack")
     results = predictor.evaluate(test_loader, prefix="test_")
     logger.info(f"test: {results}")

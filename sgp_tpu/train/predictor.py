@@ -192,11 +192,16 @@ class Predictor:
 
     def fit(self, train_loader, val_loader=None, epochs: int = 1,
             patience: Optional[int] = None, monitor: str = "mae",
-            log_every: int = 1, scaler: Optional[ScalerParams] = None):
+            log_every: int = 1, scaler: Optional[ScalerParams] = None,
+            logdir: Optional[str] = None):
         if self.params is None:
             first = next(iter(train_loader))
             self.init(first, scaler if scaler is not None
                       else ScalerParams(jnp.zeros(1), jnp.ones(1)))
+        run_logger = None
+        if logdir is not None:
+            from sgp_tpu.obs.run_logger import RunLogger
+            run_logger = RunLogger(logdir)
         best_metric, best_params, bad_epochs = np.inf, self.params, 0
         for epoch in range(epochs):
             t0 = time.time()
@@ -207,6 +212,8 @@ class Predictor:
                 current = logs[f"val_{monitor}"]
             else:
                 current = train_loss
+            if run_logger is not None:
+                run_logger.log_metrics(logs, step=epoch)
             if current < best_metric:
                 best_metric, best_params, bad_epochs = current, \
                     self.params, 0
@@ -219,6 +226,8 @@ class Predictor:
             if patience is not None and bad_epochs > patience:
                 logger.info(f"early stop at epoch {epoch}")
                 break
+        if run_logger is not None:
+            run_logger.close()
         self.params = best_params  # restore best checkpoint
         return best_metric
 
