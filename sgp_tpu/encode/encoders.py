@@ -149,10 +149,11 @@ class GESNEncoder:
     def output_size(self) -> int:
         return self.gesn.output_size
 
-    def __call__(self, x: jnp.ndarray, graph: Graph) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, graph: Graph,
+                 out_dtype=None) -> jnp.ndarray:
         g = normalize_adj(add_self_loops(graph), "row")
         op = build_operator(g, self.operator_mode)
-        return self.gesn(x, op)
+        return self.gesn(x, op, out_dtype=out_dtype)
 
 
 def get_encoder_class(name: str):

@@ -72,16 +72,21 @@ class GraphESN:
         return self.num_layers * self.hidden_size
 
     def __call__(self, x: jnp.ndarray, op: Operator,
-                 return_last_state: bool = False) -> jnp.ndarray:
-        """``x [T, N, F]`` + normalized operator -> ``[T, N, L*H]``."""
+                 return_last_state: bool = False,
+                 out_dtype=None) -> jnp.ndarray:
+        """``x [T, N, F]`` + normalized operator -> ``[T, N, L*H]``.
+        ``out_dtype`` casts each step inside the scan (the f32 state
+        history is never materialized — required when the full-series
+        encoding approaches HBM capacity)."""
         return gesn_scan(tuple(self.layers), self.activation, op, x,
-                         return_last_state)
+                         return_last_state, out_dtype=out_dtype)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("activation", "return_last_state"))
+                   static_argnames=("activation", "return_last_state",
+                                    "out_dtype"))
 def gesn_scan(layers, activation: str, op: Operator, x,
-              return_last_state: bool = False):
+              return_last_state: bool = False, out_dtype=None):
     act = _ACTIVATIONS[activation]
     n = x.shape[-2]
 
@@ -99,7 +104,10 @@ def gesn_scan(layers, activation: str, op: Operator, x,
             hi = cell(p, h[i], inp)
             new_h.append(hi)
             inp = hi
-        return new_h, jnp.concatenate(new_h, axis=-1)
+        out_t = jnp.concatenate(new_h, axis=-1)
+        if out_dtype is not None:
+            out_t = out_t.astype(out_dtype)
+        return new_h, out_t
 
     h0 = [jnp.zeros((n, p.w_hh.shape[0]), x.dtype) for p in layers]
     last_h, out = jax.lax.scan(step, h0, x)

@@ -43,6 +43,10 @@ def configure_parser() -> argparse.ArgumentParser:
     parser.add_argument("--input-scaling", type=float, default=1.0)
     parser.add_argument("--alpha-decay", type=str2bool, default=False)
     parser.add_argument("--reservoir-activation", type=str, default="tanh")
+    parser.add_argument("--device-resident", type=str2bool, default=False,
+                        help="keep the encoding in HBM and solve the "
+                             "ridge by streaming chunked Gram/moments "
+                             "(for encodings too large to move to host)")
     return parser
 
 
@@ -68,7 +72,12 @@ def run_experiment(args):
         **vars(args), "input_size": input_size, "seed": args.seed})
     encode_dataset(ds, GESNEncoder(**enc_kwargs),
                    encode_exogenous=args.preprocess_exogenous,
-                   keep_raw=False)
+                   keep_raw=False,
+                   device_resident=args.device_resident,
+                   store_dtype="bfloat16" if args.device_resident
+                   else None)
+    if args.device_resident:
+        return _run_streaming(args, ds, split)
 
     # design matrix = [scaled data, encoded_x] flattened over (step, node)
     # (run_closed_form.py:169-185)
@@ -114,6 +123,63 @@ def run_experiment(args):
         results[f"{name}_mae"] = numpy_masked_mae(y_hat, y, m)
         results[f"{name}_mse"] = float(masked_mse(y_hat, y, m))
         results[f"{name}_mape"] = float(masked_mape(y_hat, y, m))
+    logger.info(f"results: {results}")
+    return results
+
+
+def _run_streaming(args, ds, split):
+    """Device-resident closed form: feats stay in HBM; Gram/moments and
+    eval predictions stream in chunks (``closed_form_readout_streaming``).
+    """
+    from sgp_tpu.train.ridge import closed_form_readout_streaming
+    horizon = args.horizon
+    encoded = ds.covariates["encoded_x"].value          # jax [T, N, E]
+    scaled = jnp.asarray(ds.target_scaled)
+    feat_parts = [scaled, encoded]  # concatenated per chunk (HBM)
+    solutions = closed_form_readout_streaming(
+        feat_parts, scaled, ds.indices()[split.train], horizon,
+        alpha=args.l2_reg)
+
+    import jax as _jax
+
+    scaler = ds.scalers["target"]
+    results = {}
+
+    @_jax.jit
+    def predict_chunk(scaled_c, enc_c, w, b):
+        f_chunk = jnp.concatenate(
+            [scaled_c.astype(jnp.float32),
+             enc_c.astype(jnp.float32)], -1)
+        return f_chunk.reshape(-1, f_chunk.shape[-1]) @ w + b
+
+    for name, items in (("val", split.val), ("test", split.test)):
+        if not len(items):
+            continue
+        w_steps = ds.indices()[items]
+        state_v = np.zeros(2)   # [abs err sum, count]
+        for lag, (w, b) in enumerate(solutions, start=1):
+            err_sum, cnt = 0.0, 0.0
+            for s in range(0, len(w_steps), 256):
+                steps = w_steps[s:s + 256]
+                if len(steps) > 1 and np.all(np.diff(steps) == 1):
+                    sc_c = _jax.lax.dynamic_slice_in_dim(
+                        scaled, int(steps[0]), len(steps), axis=0)
+                    en_c = _jax.lax.dynamic_slice_in_dim(
+                        encoded, int(steps[0]), len(steps), axis=0)
+                else:
+                    sc_c, en_c = scaled[steps], encoded[steps]
+                pred = predict_chunk(sc_c, en_c, w, b)
+                pred = np.asarray(pred).reshape(len(steps), ds.n_nodes,
+                                                ds.n_channels)
+                pred = scaler.inverse_transform(pred)
+                y = ds.target[steps + lag]
+                m = ds.mask[steps + lag]
+                err_sum += np.abs(pred - y)[m].sum()
+                cnt += m.sum()
+            logger.info(f"{name}_mae_at_lag{lag}: "
+                        f"{err_sum / max(cnt, 1):.4f}")
+            state_v += (err_sum, cnt)
+        results[f"{name}_mae"] = float(state_v[0] / max(state_v[1], 1))
     logger.info(f"results: {results}")
     return results
 

@@ -81,6 +81,83 @@ def solve_ridge_normal(gram: jnp.ndarray, moment: jnp.ndarray,
     return jnp.where(jnp.isfinite(sol).all(), sol, fallback)
 
 
+def closed_form_readout_streaming(feats,                   # [T,N,D] or list
+                                  targets: jnp.ndarray,    # [T, N, C] dev
+                                  train_steps: np.ndarray,
+                                  horizon: int,
+                                  alpha: float = 1.0,
+                                  chunk: int = 256):
+    """Device-resident closed-form fit for encodings too large to move
+    to the host: Gram and per-lag moments accumulate chunk-by-chunk over
+    the training window steps — the flattened ``[T*N, D]`` design matrix
+    is never materialized (full-scale DynGESN on one chip; the
+    host-array path would ship tens of GB over the device link).
+
+    ``feats`` may be a list of ``[T, N, *]`` parts — they are
+    channel-concatenated PER CHUNK, so a full-width copy of the design
+    features never materializes alongside the parts (avoids doubling
+    HBM when the encoding itself is near capacity).
+
+    Returns ``[(W, b)] * horizon`` like :func:`closed_form_readout`.
+    """
+    parts = feats if isinstance(feats, (list, tuple)) else [feats]
+    train_steps = np.asarray(train_steps)
+    t_count = len(train_steps)
+    n = parts[0].shape[1]
+    d = sum(int(p.shape[2]) for p in parts)
+    c = targets.shape[2]
+    total = float(t_count * n)
+
+    def take_steps(p, steps):
+        # contiguous fast path: slicing avoids the XLA gather, whose
+        # compiled form materializes huge temps on multi-GB operands
+        if len(steps) > 1 and np.all(np.diff(steps) == 1):
+            return jax.lax.dynamic_slice_in_dim(p, int(steps[0]),
+                                                len(steps), axis=0)
+        return p[steps]
+
+    def gather_feats(steps):
+        chunks = [take_steps(p, steps).astype(jnp.float32)
+                  for p in parts]
+        return (chunks[0] if len(chunks) == 1
+                else jnp.concatenate(chunks, -1))
+
+    @jax.jit
+    def moments_chunk(f_chunk, y_chunks):
+        # f_chunk: [Tc, N, D]; y_chunks: [H, Tc, N, C]
+        f2 = f_chunk.reshape(-1, d).astype(jnp.float32)
+        sx = f2.sum(0)
+        g = jnp.einsum("nd,ne->de", f2, f2, precision="highest")
+        sy = y_chunks.sum(axis=(1, 2))                       # [H, C]
+        m = jnp.einsum("nd,hnc->hdc", f2,
+                       y_chunks.reshape(horizon, -1, c)
+                       .astype(jnp.float32), precision="highest")
+        return sx, g, sy, m
+
+    sx = jnp.zeros(d)
+    g = jnp.zeros((d, d))
+    sy = jnp.zeros((horizon, c))
+    m = jnp.zeros((horizon, d, c))
+    for s in range(0, t_count, chunk):
+        steps = train_steps[s:s + chunk]
+        f_chunk = gather_feats(steps)
+        y_chunks = jnp.stack([take_steps(targets, steps + lag)
+                              for lag in range(1, horizon + 1)])
+        dsx, dg, dsy, dm = moments_chunk(f_chunk, y_chunks)
+        sx, g, sy, m = sx + dsx, g + dg, sy + dsy, m + dm
+
+    # center: G_c = G - n mu mu^T;  M_c = M - n mu nu^T
+    mu = sx / total
+    g_c = g - total * jnp.outer(mu, mu)
+    out = []
+    for lag in range(horizon):
+        nu = sy[lag] / total
+        m_c = m[lag] - total * jnp.outer(mu, nu)
+        w = solve_ridge_normal(g_c, m_c, alpha)
+        out.append((w, nu - mu @ w))
+    return out
+
+
 def closed_form_readout(x_train: np.ndarray, targets_by_lag,
                         alpha: float = 1.0):
     """Per-lag ridge fits (``run_closed_form.py:191-196``): one
