@@ -130,8 +130,13 @@ def run_experiment(args):
 def _run_streaming(args, ds, split):
     """Device-resident closed form: feats stay in HBM; Gram/moments and
     eval predictions stream in chunks (``closed_form_readout_streaming``).
+    Eval is chunk-outer with all lag readouts stacked into one einsum per
+    chunk (amortizes the per-dispatch latency of the remote device link).
     """
-    from sgp_tpu.train.ridge import closed_form_readout_streaming
+    import jax as _jax
+
+    from sgp_tpu.train.ridge import (closed_form_readout_streaming,
+                                     gather_feat_parts)
     horizon = args.horizon
     encoded = ds.covariates["encoded_x"].value          # jax [T, N, E]
     scaled = jnp.asarray(ds.target_scaled)
@@ -139,47 +144,42 @@ def _run_streaming(args, ds, split):
     solutions = closed_form_readout_streaming(
         feat_parts, scaled, ds.indices()[split.train], horizon,
         alpha=args.l2_reg)
+    w_all = jnp.stack([w for w, _ in solutions])        # [H, D, C]
+    b_all = jnp.stack([b for _, b in solutions])        # [H, C]
 
-    import jax as _jax
+    @_jax.jit
+    def predict_all_lags(f_chunk, w_all, b_all):
+        # [Tc*N, D] x [H, D, C] -> [H, Tc*N, C]
+        f2 = f_chunk.reshape(-1, f_chunk.shape[-1])
+        return jnp.einsum("nd,hdc->hnc", f2, w_all) + b_all[:, None, :]
 
     scaler = ds.scalers["target"]
     results = {}
-
-    @_jax.jit
-    def predict_chunk(scaled_c, enc_c, w, b):
-        f_chunk = jnp.concatenate(
-            [scaled_c.astype(jnp.float32),
-             enc_c.astype(jnp.float32)], -1)
-        return f_chunk.reshape(-1, f_chunk.shape[-1]) @ w + b
-
     for name, items in (("val", split.val), ("test", split.test)):
         if not len(items):
             continue
         w_steps = ds.indices()[items]
-        state_v = np.zeros(2)   # [abs err sum, count]
-        for lag, (w, b) in enumerate(solutions, start=1):
-            err_sum, cnt = 0.0, 0.0
-            for s in range(0, len(w_steps), 256):
-                steps = w_steps[s:s + 256]
-                if len(steps) > 1 and np.all(np.diff(steps) == 1):
-                    sc_c = _jax.lax.dynamic_slice_in_dim(
-                        scaled, int(steps[0]), len(steps), axis=0)
-                    en_c = _jax.lax.dynamic_slice_in_dim(
-                        encoded, int(steps[0]), len(steps), axis=0)
-                else:
-                    sc_c, en_c = scaled[steps], encoded[steps]
-                pred = predict_chunk(sc_c, en_c, w, b)
-                pred = np.asarray(pred).reshape(len(steps), ds.n_nodes,
-                                                ds.n_channels)
-                pred = scaler.inverse_transform(pred)
+        sums = np.zeros(4)  # [abs_err, sq_err, ape, count]
+        for s in range(0, len(w_steps), 256):
+            steps = w_steps[s:s + 256]
+            preds = np.asarray(predict_all_lags(
+                gather_feat_parts(feat_parts, steps), w_all, b_all))
+            preds = preds.reshape(horizon, len(steps), ds.n_nodes,
+                                  ds.n_channels)
+            preds = scaler.inverse_transform(preds)
+            for lag in range(1, horizon + 1):
                 y = ds.target[steps + lag]
-                m = ds.mask[steps + lag]
-                err_sum += np.abs(pred - y)[m].sum()
-                cnt += m.sum()
-            logger.info(f"{name}_mae_at_lag{lag}: "
-                        f"{err_sum / max(cnt, 1):.4f}")
-            state_v += (err_sum, cnt)
-        results[f"{name}_mae"] = float(state_v[0] / max(state_v[1], 1))
+                mval = ds.mask[steps + lag]
+                err = preds[lag - 1] - y
+                sums += (np.abs(err)[mval].sum(),
+                         (err ** 2)[mval].sum(),
+                         np.abs(err / np.where(y == 0, np.inf, y)
+                                )[mval].sum(),
+                         mval.sum())
+        cnt = max(sums[3], 1)
+        results[f"{name}_mae"] = float(sums[0] / cnt)
+        results[f"{name}_mse"] = float(sums[1] / cnt)
+        results[f"{name}_mape"] = float(sums[2] / cnt)
     logger.info(f"results: {results}")
     return results
 

@@ -81,6 +81,25 @@ def solve_ridge_normal(gram: jnp.ndarray, moment: jnp.ndarray,
     return jnp.where(jnp.isfinite(sol).all(), sol, fallback)
 
 
+def take_steps(p, steps):
+    """Gather time steps from a (possibly multi-GB HBM-resident) array.
+    Contiguous runs use ``dynamic_slice`` — the compiled XLA gather on
+    huge operands materializes enormous temps. A single step is
+    trivially contiguous."""
+    steps = np.asarray(steps)
+    if len(steps) == 1 or np.all(np.diff(steps) == 1):
+        return jax.lax.dynamic_slice_in_dim(p, int(steps[0]),
+                                            len(steps), axis=0)
+    return p[steps]
+
+
+def gather_feat_parts(parts, steps):
+    """Per-chunk channel concat of feature parts (never materializes a
+    full-width copy next to the resident parts), cast to f32."""
+    chunks = [take_steps(p, steps).astype(jnp.float32) for p in parts]
+    return chunks[0] if len(chunks) == 1         else jnp.concatenate(chunks, -1)
+
+
 def closed_form_readout_streaming(feats,                   # [T,N,D] or list
                                   targets: jnp.ndarray,    # [T, N, C] dev
                                   train_steps: np.ndarray,
@@ -108,53 +127,71 @@ def closed_form_readout_streaming(feats,                   # [T,N,D] or list
     c = targets.shape[2]
     total = float(t_count * n)
 
-    def take_steps(p, steps):
-        # contiguous fast path: slicing avoids the XLA gather, whose
-        # compiled form materializes huge temps on multi-GB operands
-        if len(steps) > 1 and np.all(np.diff(steps) == 1):
-            return jax.lax.dynamic_slice_in_dim(p, int(steps[0]),
-                                                len(steps), axis=0)
-        return p[steps]
+    contiguous = t_count > 1 and np.all(np.diff(train_steps) == 1)
 
-    def gather_feats(steps):
-        chunks = [take_steps(p, steps).astype(jnp.float32)
-                  for p in parts]
-        return (chunks[0] if len(chunks) == 1
-                else jnp.concatenate(chunks, -1))
+    @functools.partial(jax.jit, static_argnames=("tc", "h"))
+    def slice_inputs_jit(start, tc, h, parts_arg, targets_arg):
+        """In-jit contiguous slicing of feats parts + per-lag targets —
+        everything for one chunk in ONE device dispatch (per-lag eager
+        slices otherwise dominate wall time on a high-latency link).
+        Big arrays are explicit args, never closure constants."""
+        f = jnp.concatenate(
+            [jax.lax.dynamic_slice_in_dim(p, start, tc, axis=0)
+             .astype(jnp.float32) for p in parts_arg], -1)
+        y_all = jax.lax.dynamic_slice_in_dim(
+            targets_arg, start + 1, tc + h - 1, axis=0)
+        y_chunks = jnp.stack(
+            [jax.lax.dynamic_slice_in_dim(y_all, lag, tc, axis=0)
+             for lag in range(h)])
+        return f, y_chunks
 
-    @jax.jit
-    def moments_chunk(f_chunk, y_chunks):
-        # f_chunk: [Tc, N, D]; y_chunks: [H, Tc, N, C]
-        f2 = f_chunk.reshape(-1, d).astype(jnp.float32)
-        sx = f2.sum(0)
-        g = jnp.einsum("nd,ne->de", f2, f2, precision="highest")
-        sy = y_chunks.sum(axis=(1, 2))                       # [H, C]
-        m = jnp.einsum("nd,hnc->hdc", f2,
-                       y_chunks.reshape(horizon, -1, c)
-                       .astype(jnp.float32), precision="highest")
-        return sx, g, sy, m
-
-    sx = jnp.zeros(d)
-    g = jnp.zeros((d, d))
-    sy = jnp.zeros((horizon, c))
-    m = jnp.zeros((horizon, d, c))
-    for s in range(0, t_count, chunk):
+    def chunk_inputs(s):
         steps = train_steps[s:s + chunk]
-        f_chunk = gather_feats(steps)
+        if contiguous and len(steps) == chunk:
+            return slice_inputs_jit(int(steps[0]), chunk, horizon,
+                                    tuple(parts), targets)
+        f = gather_feat_parts(parts, steps)
         y_chunks = jnp.stack([take_steps(targets, steps + lag)
                               for lag in range(1, horizon + 1)])
-        dsx, dg, dsy, dm = moments_chunk(f_chunk, y_chunks)
-        sx, g, sy, m = sx + dsx, g + dg, sy + dsy, m + dm
+        return f, y_chunks
 
-    # center: G_c = G - n mu mu^T;  M_c = M - n mu nu^T
+    # pass 1: means (cheap sweeps; keeps the Gram accumulation centered
+    # — raw-moment centering over millions of samples is cancellation-
+    # prone in f32, matching ridge_regression's two-pass chunked branch)
+    @jax.jit
+    def sums_chunk(f_chunk, y_chunks):
+        return (f_chunk.reshape(-1, d).sum(0),
+                y_chunks.astype(jnp.float32).sum(axis=(1, 2)))
+
+    sx = jnp.zeros(d)
+    sy = jnp.zeros((horizon, c))
+    for s in range(0, t_count, chunk):
+        f_chunk, y_chunks = chunk_inputs(s)
+        dsx, dsy = sums_chunk(f_chunk, y_chunks)
+        sx, sy = sx + dsx, sy + dsy
     mu = sx / total
-    g_c = g - total * jnp.outer(mu, mu)
+    nus = sy / total                                        # [H, C]
+
+    @jax.jit
+    def moments_chunk(f_chunk, y_chunks, mu, nus):
+        f2 = f_chunk.reshape(-1, d) - mu
+        g = jnp.einsum("nd,ne->de", f2, f2, precision="highest")
+        yc = (y_chunks.reshape(horizon, -1, c).astype(jnp.float32)
+              - nus[:, None, :])
+        m = jnp.einsum("nd,hnc->hdc", f2, yc, precision="highest")
+        return g, m
+
+    g = jnp.zeros((d, d))
+    m = jnp.zeros((horizon, d, c))
+    for s in range(0, t_count, chunk):
+        f_chunk, y_chunks = chunk_inputs(s)
+        dg, dm = moments_chunk(f_chunk, y_chunks, mu, nus)
+        g, m = g + dg, m + dm
+
     out = []
     for lag in range(horizon):
-        nu = sy[lag] / total
-        m_c = m[lag] - total * jnp.outer(mu, nu)
-        w = solve_ridge_normal(g_c, m_c, alpha)
-        out.append((w, nu - mu @ w))
+        w = solve_ridge_normal(g, m[lag], alpha)
+        out.append((w, nus[lag] - mu @ w))
     return out
 
 
