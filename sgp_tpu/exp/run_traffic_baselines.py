@@ -121,6 +121,39 @@ def build_model_and_forward(args, ds, u_size):
                 "node_index": batch.get("node_index"),
                 "training": training}
         return model, to_call
+    if name in ("tcn", "transformer"):
+        from sgp_tpu.models import get_model_class
+        cls = get_model_class(name)
+        common = dict(hidden_size=args.hidden_size,
+                      ff_size=args.ff_size, output_size=ds.n_channels,
+                      horizon=ds.windowing.horizon_steps,
+                      n_layers=args.n_layers, dropout=args.dropout)
+        model = cls(**common)
+        return model, None
+    if name in ("stcn", "rnn2gcn"):
+        from sgp_tpu.graph import normalize_adj
+        from sgp_tpu.models import get_model_class
+        from sgp_tpu.ops import build_operator
+        op = build_operator(normalize_adj(g, "row"))
+        cls = get_model_class(name)
+        if name == "stcn":
+            model = cls(hidden_size=args.hidden_size,
+                        ff_size=args.ff_size,
+                        output_size=ds.n_channels,
+                        horizon=ds.windowing.horizon_steps,
+                        n_layers=args.n_layers, dropout=args.dropout)
+        else:
+            model = cls(hidden_size=args.hidden_size,
+                        output_size=ds.n_channels,
+                        horizon=ds.windowing.horizon_steps,
+                        rec_layers=args.rec_layers,
+                        gcn_layers=args.n_layers,
+                        dropout=args.dropout)
+
+        def to_call(batch, training):
+            return (batch["x"], op), {"u": batch.get("u"),
+                                      "training": training}
+        return model, to_call
     if name in ("gatedgn", "gatedgn_conv"):
         cls = (GatedGraphNetworkMLPModel if name == "gatedgn"
                else GatedGraphNetworkConvModel)

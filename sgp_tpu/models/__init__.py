@@ -13,11 +13,16 @@ def get_model_class(name: str):
     from sgp_tpu.models.gwnet import GraphWaveNetModel
     from sgp_tpu.models.gated_gn import (GatedGraphNetworkConvModel,
                                          GatedGraphNetworkMLPModel)
+    from sgp_tpu.models.attention import TransformerModel
+    from sgp_tpu.models.stgn_extra import (RNNEncGCNDecModel, STCNModel,
+                                           TCNModel)
     return {
         "sgp": SGPModel, "online_sgp": SGPOnlineModel, "esn": ESNModel,
         "rnn": RNNModel, "fc_rnn": FCRNNModel, "dcrnn": DCRNNModel,
         "gwnet": GraphWaveNetModel, "gatedgn": GatedGraphNetworkMLPModel,
         "gatedgn_conv": GatedGraphNetworkConvModel,
+        "stcn": STCNModel, "tcn": TCNModel,
+        "transformer": TransformerModel, "rnn2gcn": RNNEncGCNDecModel,
     }[name]
 
 

@@ -209,8 +209,11 @@ class TransformerModel(nn.Module):
     @nn.compact
     def __call__(self, x, u=None, training: bool = False, **kwargs):
         # x: [b s n c]
-        x = maybe_cat_exog(x, u[:, :, None, :] if u is not None
-                           and u.ndim == 3 else u)
+        if u is not None:
+            if u.ndim == 3:  # global exog -> broadcast over nodes
+                u = jnp.broadcast_to(u[:, :, None, :],
+                                     x.shape[:3] + (u.shape[-1],))
+            x = jnp.concatenate([x, u], -1)
         x = nn.Dense(self.hidden_size)(x)
         x = PositionalEncoding()(x)
         for _ in range(self.n_layers):

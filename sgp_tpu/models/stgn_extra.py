@@ -271,8 +271,11 @@ class TCNModel(nn.Module):
 
     @nn.compact
     def __call__(self, x, u=None, training: bool = False, **kwargs):
-        x = maybe_cat_exog(x, u[:, :, None, :] if u is not None
-                           and u.ndim == 3 else u)
+        if u is not None:
+            if u.ndim == 3:  # global exog -> broadcast over nodes
+                u = jnp.broadcast_to(u[:, :, None, :],
+                                     x.shape[:3] + (u.shape[-1],))
+            x = jnp.concatenate([x, u], -1)
         x = nn.Dense(self.hidden_size)(x)
         x = TemporalConvNet(self.hidden_size, self.kernel_size,
                             dilation=2, n_layers=self.n_layers,
@@ -300,8 +303,11 @@ class STCNModel(nn.Module):
     @nn.compact
     def __call__(self, x, op: Operator, u=None, training: bool = False,
                  **kwargs):
-        x = maybe_cat_exog(x, u[:, :, None, :] if u is not None
-                           and u.ndim == 3 else u)
+        if u is not None:
+            if u.ndim == 3:  # global exog -> broadcast over nodes
+                u = jnp.broadcast_to(u[:, :, None, :],
+                                     x.shape[:3] + (u.shape[-1],))
+            x = jnp.concatenate([x, u], -1)
         for i in range(self.n_layers):
             x = STCNBlock(self.hidden_size, self.temporal_kernel_size,
                           dilation=2 ** i, activation=self.activation,
@@ -327,8 +333,11 @@ class RNNEncGCNDecModel(nn.Module):
     def __call__(self, x, op: Operator, u=None, training: bool = False,
                  **kwargs):
         from sgp_tpu.models.rnn import _RNNStack
-        x = maybe_cat_exog(x, u[:, :, None, :] if u is not None
-                           and u.ndim == 3 else u)
+        if u is not None:
+            if u.ndim == 3:  # global exog -> broadcast over nodes
+                u = jnp.broadcast_to(u[:, :, None, :],
+                                     x.shape[:3] + (u.shape[-1],))
+            x = jnp.concatenate([x, u], -1)
         b, s, n, f = x.shape
         xt = x.transpose(0, 2, 1, 3).reshape(b * n, s, f)
         h = _RNNStack(self.hidden_size, self.rec_layers)(xt)
