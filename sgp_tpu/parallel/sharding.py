@@ -96,7 +96,7 @@ def make_sharded_iid_step(model, optimizer, encoded, target, mask,
     form of ``sgp_tpu.train.iid.make_fused_iid_step``; per-device
     sampling is decorrelated by folding in the device index.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from sgp_tpu.train.iid import make_fused_iid_step
     from sgp_tpu.train.metrics import _METRIC_FNS, _masked_reduce
@@ -156,7 +156,7 @@ def make_sharded_iid_step(model, optimizer, encoded, target, mask,
         local_step, mesh=mesh,
         in_specs=(repl, repl, repl, repl),
         out_specs=(repl, repl, repl),
-        check_rep=False)
+        check_vma=False)
     jitted = jax.jit(sharded)
 
     def step(params, opt_state, rng):
@@ -169,7 +169,7 @@ def sharded_ridge(x_shards, y_shards, alpha: float, mesh: Mesh):
     """Distributed normal-equations ridge: each data shard computes its
     Gram/moment contribution, psum over ``data``, Cholesky replicated
     (SURVEY.md §2.6 sklearn-Ridge row). Implemented with shard_map."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from sgp_tpu.train.ridge import solve_ridge_normal
 
     d = x_shards.shape[-1]

@@ -17,6 +17,32 @@ import jax
 import numpy as np
 
 
+def model_config(model) -> Dict[str, str]:
+    """Hyperparameter fingerprint of a flax module (its dataclass
+    fields, repr'd) — stored in checkpoints and asserted on reload, the
+    parity of the reference's hparam-match check when loading a model
+    from a checkpoint (``tsl/predictors/base_predictor.py:89-96``)."""
+    import dataclasses
+    out = {"__class__": type(model).__name__}
+    for f in dataclasses.fields(model):
+        if f.name in ("parent", "name"):
+            continue
+        out[f.name] = repr(getattr(model, f.name))
+    return out
+
+
+def check_model_config(stored: Dict[str, str], model):
+    """Raise if the checkpoint's model config mismatches the live model."""
+    live = model_config(model)
+    mismatched = {k: (stored.get(k), live.get(k))
+                  for k in set(stored) | set(live)
+                  if stored.get(k) != live.get(k)}
+    if mismatched:
+        raise ValueError(
+            "checkpoint model config mismatch (stored vs live): "
+            f"{mismatched}")
+
+
 def save_train_state(path: str, params: Any, opt_state: Any = None,
                      rng=None, extra: Optional[Dict] = None):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -95,6 +95,10 @@ class MaskedMetrics:
     def __init__(self, specs: Dict[str, MetricSpec]):
         self.specs = specs
 
+    @property
+    def names(self):
+        return tuple(self.specs)
+
     @staticmethod
     def forecasting(horizon_at: Dict[str, int] = None) -> "MaskedMetrics":
         """The standard suite: mae/mse/mape (+ ``mae_at_<label>``)."""

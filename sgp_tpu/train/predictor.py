@@ -69,9 +69,10 @@ class Predictor:
                      for m in lr_milestones})
         else:
             schedule = lr
-        opt = optax.adam(schedule)
         if weight_decay > 0:
             opt = optax.adamw(schedule, weight_decay=weight_decay)
+        else:
+            opt = optax.adam(schedule)
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(grad_clip), opt)
         self._train_step = None
@@ -198,6 +199,10 @@ class Predictor:
             first = next(iter(train_loader))
             self.init(first, scaler if scaler is not None
                       else ScalerParams(jnp.zeros(1), jnp.ones(1)))
+        if val_loader is not None and monitor not in self.metrics.names:
+            raise ValueError(
+                f"monitor={monitor!r} is not a tracked metric; "
+                f"available: {sorted(self.metrics.names)}")
         run_logger = None
         if logdir is not None:
             from sgp_tpu.obs.run_logger import RunLogger
@@ -236,16 +241,21 @@ class Predictor:
                    best_metric: float = float("inf")):
         """Full restartable state: params + optimizer + RNG + progress
         (SURVEY.md §5.4)."""
-        from sgp_tpu.train.checkpoint import save_train_state
+        from sgp_tpu.train.checkpoint import model_config, save_train_state
         save_train_state(path, self.params, self.opt_state, self.rng,
                          extra={"epoch": epoch,
-                                "best_metric": best_metric})
+                                "best_metric": best_metric,
+                                "model_config": model_config(self.model)})
 
     def load_state(self, path: str):
-        from sgp_tpu.train.checkpoint import load_train_state
+        from sgp_tpu.train.checkpoint import (check_model_config,
+                                              load_train_state)
         assert self.params is not None, "init() before load_state()"
-        self.params, opt_state, rng, extra = load_train_state(
+        params, opt_state, rng, extra = load_train_state(
             path, self.params, self.opt_state)
+        if "model_config" in extra:
+            check_model_config(extra["model_config"], self.model)
+        self.params = params
         if opt_state is not None:
             self.opt_state = opt_state
         if rng is not None:

@@ -62,3 +62,33 @@ def test_resume_matches_uninterrupted(rng, tmp_path):
     p3.train_epoch(l2)
     out = p3.predict(WindowedLoader(ds2, batch_size=16))
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_load_state_asserts_hparam_match(rng, tmp_path):
+    """Reloading a checkpoint into a model with different hparams raises
+    (parity: ``tsl/predictors/base_predictor.py:89-96``)."""
+    import pytest
+
+    path = str(tmp_path / "state.pkl")
+    ds, p, l = make_setup(np.random.default_rng(1), seed=2)
+    p.fit(l, epochs=1, scaler=ds.scaler_params(), log_every=0)
+    p.save_state(path, epoch=1)
+    # same-config reload works
+    p.load_state(path)
+    # different decoder width -> rejected
+    other = SGPModel(input_size=8, order=2, n_nodes=6, hidden_size=32,
+                     mlp_size=8, output_size=1, n_layers=1, horizon=2,
+                     positional_encoding=False, dropout=0.1)
+    p_other = Predictor(other, lr=1e-2, seed=2)
+    p_other.fit(l, epochs=0, scaler=ds.scaler_params(), log_every=0)
+    with pytest.raises(ValueError, match="hidden_size"):
+        p_other.load_state(path)
+
+
+def test_fit_rejects_unknown_monitor(rng):
+    import pytest
+
+    ds, p, l = make_setup(np.random.default_rng(1), seed=2)
+    with pytest.raises(ValueError, match="monitor"):
+        p.fit(l, val_loader=l, epochs=1, monitor="nope",
+              scaler=ds.scaler_params(), log_every=0)
