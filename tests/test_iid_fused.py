@@ -202,3 +202,45 @@ def test_stratified_step_matches_precomputed_semantics(rng):
         p2, st2, l = step2(p2, st2, k)
         losses.append(float(l))
     assert losses[-1] < 0.6 * losses[0], losses
+
+
+def test_stratified_gather_spmm_matches_full_propagation(rng):
+    """The gather-SpMM (rows of A at the sampled nodes only) must give
+    the exact features the old propagate-all-nodes assembly produced for
+    the same RNG stream — same t/n draws, same values."""
+    import jax
+    import jax.numpy as jnp
+    from sgp_tpu.data.sgp_loader import build_support_operators
+    from sgp_tpu.graph import Graph, coalesce
+
+    t, n, h_dim, tb, p = 60, 14, 5, 4, 6
+    g = coalesce(Graph(rng.integers(0, n, 60), rng.integers(0, n, 60),
+                       rng.random(60).astype(np.float32), n))
+    ops = build_support_operators(g, k=2)
+    ht = jnp.asarray(rng.standard_normal((t, n, h_dim)).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    rng_t, rng_n, _ = jax.random.split(key, 3)
+    t_idx = jax.random.choice(rng_t, jnp.arange(t - 3), (tb,))
+    n_idx = jax.random.randint(rng_n, (tb, p), 0, n)
+    h_sel = ht[t_idx]
+
+    # old assembly: full propagation, then gather sampled nodes
+    parts_full = [h_sel] + [op @ h_sel for op in ops]
+    parts_full.append(jnp.broadcast_to(h_sel.mean(-2, keepdims=True),
+                                       h_sel.shape))
+    x_old = jnp.take_along_axis(jnp.concatenate(parts_full, -1),
+                                n_idx[:, :, None], axis=1)
+
+    # new assembly: row-gathered contraction
+    h_smp = jnp.take_along_axis(h_sel, n_idx[:, :, None], axis=1)
+    parts = [h_smp]
+    for op in ops:
+        rows = op.mat[n_idx]
+        parts.append(jnp.einsum("tpn,tnf->tpf", rows, h_sel,
+                                precision=op.precision,
+                                preferred_element_type=jnp.float32))
+    parts.append(jnp.broadcast_to(h_sel.mean(-2, keepdims=True),
+                                  h_smp.shape))
+    x_new = jnp.concatenate(parts, -1)
+    np.testing.assert_allclose(np.asarray(x_new), np.asarray(x_old),
+                               atol=1e-5)
