@@ -86,48 +86,73 @@ def make_sharded_iid_step(model, optimizer, encoded, target, mask,
                           valid_starts, horizon_offsets, scaler,
                           mesh: Mesh, u=None, batch_size: int = 4096,
                           loss: str = "mae",
-                          scale_target: bool = False):
-    """Data-parallel fused IID training over the ``data`` mesh axis.
+                          scale_target: bool = False,
+                          axis: str = "data",
+                          steps_per_call: int = 1):
+    """Data-parallel fused IID training with **node-sharded memory**.
 
-    Each device draws its own ``batch_size / n_data`` slice of the
-    sample batch from the (replicated) HBM-resident arrays — the host
-    still only ships an RNG key — and gradients are psum-reduced by
-    shard_map. Params/opt state replicated. This is the pod-scale DP
-    form of ``sgp_tpu.train.iid.make_fused_iid_step``; per-device
-    sampling is decorrelated by folding in the device index.
+    The big HBM-resident arrays (encoded ``[T, N, D]``, target, mask,
+    node-level exogenous) are sharded along the NODE dimension over
+    ``axis`` — each device holds ``1/n`` of every array, so multi-chip
+    scales memory capacity, not just FLOPs (the round-1 version
+    replicated them; VERDICT.md Next-1). Each device draws
+    ``batch_size / n`` (t, local-node) samples from ITS node shard —
+    jointly uniform over all (t, node) pairs since shards are equal
+    size — gathers locally, and gradients are psum-reduced, keeping
+    replicated params bit-identical across devices. The host still only
+    ships an RNG key per call; ``steps_per_call > 1`` scans that many
+    optimizer steps per dispatch.
+
+    Node counts that don't divide the axis are zero-padded; padded
+    samples carry ``mask=False`` and drop out of the masked loss.
     """
+    import optax
     from jax import shard_map
 
-    from sgp_tpu.train.iid import make_fused_iid_step
+    from sgp_tpu.parallel.halo import shard_nodes
     from sgp_tpu.train.metrics import _METRIC_FNS, _masked_reduce
 
-    n_data = mesh.shape["data"]
-    assert batch_size % n_data == 0
-    local_bs = batch_size // n_data
+    n_shards = mesh.shape[axis]
+    assert batch_size % n_shards == 0
+    local_bs = batch_size // n_shards
     loss_pt = _METRIC_FNS[loss]
     n_nodes = encoded.shape[1]
+    n_local = -(-n_nodes // n_shards)
     has_u = u is not None
-    data = (encoded, target, mask, valid_starts, horizon_offsets) \
-        + ((u,) if has_u else ())
+    u_node = has_u and u.ndim == 3
+
+    encoded = shard_nodes(encoded, mesh, axis, node_axis=1)
+    target = shard_nodes(target, mesh, axis, node_axis=1)
+    mask = shard_nodes(mask, mesh, axis, node_axis=1)  # pads -> False
+    if u_node:
+        u = shard_nodes(u, mesh, axis, node_axis=1)
+    elif has_u:
+        u = jax.device_put(u, NamedSharding(mesh, P()))
+    data = (encoded, target, mask, jnp.asarray(valid_starts),
+            jnp.asarray(horizon_offsets)) + ((u,) if has_u else ())
+    node_spec = P(None, axis, None)
     repl = P()
+    data_specs = (node_spec, node_spec, node_spec, repl, repl) \
+        + (((node_spec if u_node else repl),) if has_u else ())
 
     def local_loss(params, rng, data):
         enc, tgt, msk, valid, h_off = data[:5]
-        # decorrelate per-device streams
-        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        # decorrelated per-device streams over disjoint node shards
+        shard_id = jax.lax.axis_index(axis)
+        rng = jax.random.fold_in(rng, shard_id)
         rng_t, rng_n, rng_d = jax.random.split(rng, 3)
         t = jax.random.choice(rng_t, valid, (local_bs,))
-        n = jax.random.randint(rng_n, (local_bs,), 0, n_nodes)
-        x = enc[t, n]
-        y = tgt[t[:, None] + h_off[None, :], n[:, None]]
-        m = msk[t[:, None] + h_off[None, :], n[:, None]]
+        n_loc = jax.random.randint(rng_n, (local_bs,), 0, n_local)
+        n_glob = shard_id * n_local + n_loc
+        x = enc[t, n_loc]
+        y = tgt[t[:, None] + h_off[None, :], n_loc[:, None]]
+        m = msk[t[:, None] + h_off[None, :], n_loc[:, None]]
         kwargs = {}
         if has_u:
             u_arr = data[5]
-            kwargs["u"] = (u_arr[t, n] if u_arr.ndim == 3
-                           else u_arr[t])
-        sc = scaler.index_nodes_iid(n)
-        y_hat = model.apply(params, x, node_index=n, training=True,
+            kwargs["u"] = (u_arr[t, n_loc] if u_node else u_arr[t])
+        sc = scaler.index_nodes_iid(n_glob)
+        y_hat = model.apply(params, x, node_index=n_glob, training=True,
                             iid=True, rngs={"dropout": rng_d}, **kwargs)
         if scale_target:
             y_ref = sc.transform(y)
@@ -135,26 +160,28 @@ def make_sharded_iid_step(model, optimizer, encoded, target, mask,
             y_hat = sc.inverse_transform(y_hat)
             y_ref = y
         v, cnt = _masked_reduce(loss_pt, y_hat, y_ref, m)
-        v = jax.lax.psum(v, "data")
-        cnt = jax.lax.psum(cnt, "data")
+        v = jax.lax.psum(v, axis)
+        cnt = jax.lax.psum(cnt, axis)
         return v / jnp.maximum(cnt, 1.0)
 
-    import optax
-
     def local_step(params, opt_state, rng, data):
-        loss_val, grads = jax.value_and_grad(local_loss)(
-            params, rng, data)
-        # backward of psum is identity: per-device grads cover only the
-        # local samples — psum them for the full-batch gradient (keeps
-        # replicated params bit-identical across devices)
-        grads = jax.lax.psum(grads, "data")
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss_val
+        def body(carry, key):
+            p, s = carry
+            # backward of psum is identity: per-device grads cover only
+            # the local samples — psum for the full-batch gradient
+            # (keeps replicated params bit-identical across devices)
+            loss_val, grads = jax.value_and_grad(local_loss)(p, key, data)
+            grads = jax.lax.psum(grads, axis)
+            updates, s = optimizer.update(grads, s, p)
+            return (optax.apply_updates(p, updates), s), loss_val
+        keys = jax.random.split(rng, max(steps_per_call, 1))
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), keys)
+        return params, opt_state, losses.mean()
 
     sharded = shard_map(
         local_step, mesh=mesh,
-        in_specs=(repl, repl, repl, repl),
+        in_specs=(repl, repl, repl, data_specs),
         out_specs=(repl, repl, repl),
         check_vma=False)
     jitted = jax.jit(sharded)
@@ -162,6 +189,8 @@ def make_sharded_iid_step(model, optimizer, encoded, target, mask,
     def step(params, opt_state, rng):
         return jitted(params, opt_state, rng, data)
 
+    step.data = data          # the node-sharded device arrays
+    step.n_local = n_local
     return step
 
 

@@ -79,9 +79,124 @@ def test_shard_batch_shapes(rng):
     assert sharded["x"].addressable_shards[0].data.shape == (2, 4)
 
 
+def _iid_setup(rng, t=100, n=16, d=8):
+    import optax
+
+    from sgp_tpu.data import ScalerParams
+    from sgp_tpu.models import SGPModel
+
+    encoded = jnp.asarray(rng.standard_normal((t, n, d)).astype(np.float32))
+    target = jnp.asarray(rng.standard_normal((t, n, 1)).astype(np.float32))
+    mask = jnp.asarray(rng.random((t, n, 1)) > 0.1)
+    model = SGPModel(input_size=d, order=2, n_nodes=n, hidden_size=16,
+                     mlp_size=8, output_size=1, n_layers=1, horizon=2,
+                     positional_encoding=True)
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "dropout": key},
+                        jnp.zeros((4, d)),
+                        node_index=jnp.zeros(4, jnp.int32), iid=True)
+    opt = optax.adam(1e-3)
+    scaler = ScalerParams(jnp.zeros(1), jnp.ones(1))
+    return encoded, target, mask, model, params, opt, scaler
+
+
 def test_sharded_iid_step_runs_and_is_replicated(rng):
     """DP fused IID step over the data axis: executes, loss finite, and
     params remain bit-identical across devices after the update."""
+    from sgp_tpu.parallel.sharding import make_sharded_iid_step
+
+    mesh = make_mesh(8, 1)
+    t, n = 100, 16
+    encoded, target, mask, model, params, opt, scaler = _iid_setup(rng)
+    key = jax.random.PRNGKey(0)
+    step = make_sharded_iid_step(
+        model, opt, encoded, target, mask,
+        jnp.arange(t - 3), 1 + jnp.arange(2), scaler, mesh, batch_size=64)
+    with mesh:
+        p2, s2, loss = step(params, opt.init(params), key)
+        p2, s2, loss2 = step(p2, s2, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss)) and np.isfinite(float(loss2))
+    leaf = jax.tree_util.tree_leaves(p2)[0]
+    assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_sharded_iid_memory_is_node_sharded(rng):
+    """Each device holds ~1/n of every big array — multi-chip scales
+    memory capacity (VERDICT round-1 Next-1), not just FLOPs."""
+    from sgp_tpu.parallel.sharding import make_sharded_iid_step
+
+    mesh = make_mesh(8, 1)
+    t, n = 100, 16
+    encoded, target, mask, model, params, opt, scaler = _iid_setup(rng)
+    step = make_sharded_iid_step(
+        model, opt, encoded, target, mask,
+        jnp.arange(t - 3), 1 + jnp.arange(2), scaler, mesh, batch_size=64)
+    enc_s, tgt_s, msk_s = step.data[:3]
+    for arr in (enc_s, tgt_s, msk_s):
+        shards = arr.addressable_shards
+        assert len(shards) == 8
+        assert shards[0].data.nbytes * 8 == arr.nbytes
+    assert enc_s.nbytes == encoded.nbytes  # 16 % 8 == 0: no padding
+
+
+def test_sharded_iid_matches_single_device_emulation(rng):
+    """The sharded step's loss AND updated params equal a single-device
+    emulation of the same per-shard RNG streams and masked reduction."""
+    import optax
+
+    from sgp_tpu.parallel.sharding import make_sharded_iid_step
+    from sgp_tpu.train.metrics import _METRIC_FNS, _masked_reduce
+
+    mesh = make_mesh(8, 1)
+    t, n, d = 100, 16, 8
+    n_shards, local_bs = 8, 8
+    n_local = n // n_shards
+    encoded, target, mask, model, params, opt, scaler = _iid_setup(rng)
+    valid = jnp.arange(t - 3)
+    h_off = 1 + jnp.arange(2)
+    key = jax.random.PRNGKey(42)
+    step = make_sharded_iid_step(
+        model, opt, encoded, target, mask, valid, h_off, scaler, mesh,
+        batch_size=n_shards * local_bs)
+    with mesh:
+        p_sh, s_sh, loss_sh = step(params, opt.init(params), key)
+    loss_sh = float(loss_sh)
+
+    # single-device emulation of the 8 per-shard streams
+    def emulated_loss(p):
+        keys = jax.random.split(key, 1)  # scan over steps_per_call=1
+        total_v, total_c = 0.0, 0.0
+        for shard_id in range(n_shards):
+            r = jax.random.fold_in(keys[0], shard_id)
+            rng_t, rng_n, rng_d = jax.random.split(r, 3)
+            ts = jax.random.choice(rng_t, valid, (local_bs,))
+            n_loc = jax.random.randint(rng_n, (local_bs,), 0, n_local)
+            n_glob = shard_id * n_local + n_loc
+            x = encoded[ts, n_glob]
+            y = target[ts[:, None] + h_off[None, :], n_glob[:, None]]
+            m = mask[ts[:, None] + h_off[None, :], n_glob[:, None]]
+            sc = scaler.index_nodes_iid(n_glob)
+            y_hat = model.apply(p, x, node_index=n_glob, training=True,
+                                iid=True, rngs={"dropout": rng_d})
+            y_hat = sc.inverse_transform(y_hat)
+            v, c = _masked_reduce(_METRIC_FNS["mae"], y_hat, y, m)
+            total_v = total_v + v
+            total_c = total_c + c
+        return total_v / jnp.maximum(total_c, 1.0)
+
+    loss_em, grads = jax.value_and_grad(emulated_loss)(params)
+    np.testing.assert_allclose(loss_sh, float(loss_em), rtol=1e-5)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    p_em = optax.apply_updates(params, updates)
+    for a, b in zip(jax.tree_util.tree_leaves(p_sh),
+                    jax.tree_util.tree_leaves(p_em)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_iid_padded_nodes_are_masked(rng):
+    """N not divisible by the axis: padded node slots carry mask=False
+    and the step still runs with a finite loss."""
     import optax
 
     from sgp_tpu.data import ScalerParams
@@ -89,10 +204,10 @@ def test_sharded_iid_step_runs_and_is_replicated(rng):
     from sgp_tpu.parallel.sharding import make_sharded_iid_step
 
     mesh = make_mesh(8, 1)
-    t, n, d = 100, 10, 8
+    t, n, d = 60, 13, 8    # 13 -> pads to 16
     encoded = jnp.asarray(rng.standard_normal((t, n, d)).astype(np.float32))
     target = jnp.asarray(rng.standard_normal((t, n, 1)).astype(np.float32))
-    model = SGPModel(input_size=d, order=2, n_nodes=n, hidden_size=16,
+    model = SGPModel(input_size=d, order=2, n_nodes=16, hidden_size=16,
                      mlp_size=8, output_size=1, n_layers=1, horizon=2,
                      positional_encoding=True)
     key = jax.random.PRNGKey(0)
@@ -104,11 +219,9 @@ def test_sharded_iid_step_runs_and_is_replicated(rng):
         model, opt, encoded, target, jnp.ones((t, n, 1), bool),
         jnp.arange(t - 3), 1 + jnp.arange(2),
         ScalerParams(jnp.zeros(1), jnp.ones(1)), mesh, batch_size=64)
+    msk_s = step.data[2]
+    assert msk_s.shape[1] == 16
+    assert not np.asarray(msk_s)[:, 13:].any()
     with mesh:
-        p2, s2, loss = step(params, opt.init(params), key)
-        p2, s2, loss2 = step(p2, s2, jax.random.PRNGKey(1))
-    assert np.isfinite(float(loss)) and np.isfinite(float(loss2))
-    # params changed and are consistent (replicated output spec implies
-    # identical shards; verify numerically by pulling to host)
-    leaf = jax.tree_util.tree_leaves(p2)[0]
-    assert np.isfinite(np.asarray(leaf)).all()
+        _, _, loss = step(params, opt.init(params), key)
+    assert np.isfinite(float(loss))
