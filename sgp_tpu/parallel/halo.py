@@ -134,7 +134,8 @@ def halo_khop(spec: HaloSpec, x: jnp.ndarray, mesh: Mesh, k: int = 1,
     zero, so padded outputs are zero and sliced off)."""
     n = spec.num_nodes
     n_pad = spec.n_shards * spec.nodes_per_shard
-    if x.shape[-2] == n and n_pad != n:
+    padded_here = x.shape[-2] == n and n_pad != n
+    if padded_here:
         pad = [(0, 0)] * (x.ndim - 2) + [(0, n_pad - n), (0, 0)]
         x = jnp.pad(x, pad)
     node_spec = P(*([None] * (x.ndim - 2)), axis, None)
@@ -154,7 +155,7 @@ def halo_khop(spec: HaloSpec, x: jnp.ndarray, mesh: Mesh, k: int = 1,
         in_specs=(P(axis), P(axis), P(axis), node_spec),
         out_specs=node_spec, check_vma=False)
     out = fn(spec.a_local, spec.a_halo, spec.send_idx, x)
-    if n_pad != n:
+    if padded_here:
         out = out[..., :n, :]
     return out
 
