@@ -117,14 +117,16 @@ def run_experiment(args):
                         f"({bps:.1f} batch/s)")
     params = best_params
 
-    # full-graph evaluation on the test split
+    # full-graph evaluation on the test split — ONE fused dispatch
+    # (device-resident encodings never round-trip to host)
+    from sgp_tpu.train.fused_window import make_fused_eval
     metrics = MaskedMetrics.forecasting()
-    predictor = Predictor(model, metrics=metrics)
-    predictor.params = params
-    predictor._build_steps(ds.scaler_params())
     infer_bs = args.batch_inference or 16
-    test_loader = WindowedLoader(ds, split.test, batch_size=infer_bs)
-    results = predictor.evaluate(test_loader, prefix="test_")
+    test_eval = make_fused_eval(
+        model, enc, tgt, mask, ds.indices()[split.test],
+        jnp.asarray(ds.windowing.window_offsets()), h_off,
+        ds.scaler_params(), metrics, u=u, batch_size=infer_bs)
+    results = {f"test_{k}": v for k, v in test_eval(params).items()}
     results["train_time_s"] = time.time() - t0
     logger.info(f"test: {results}")
     return results
@@ -243,13 +245,11 @@ def run_experiment_stratified(args):
     train_time = time.time() - t0
     logger.info(f"train done in {train_time:.1f}s")
 
-    # full-graph test evaluation: the reservoir embedding becomes the
-    # dataset input and SGPLoader applies the same supports (+ global
-    # mean operator — identical math to the in-step propagation)
-    from sgp_tpu.data.sgp_loader import SGPLoader
+    # full-graph test evaluation: the reservoir embedding is the model
+    # input, propagated through the same supports (+ global mean) —
+    # fused into ONE dispatch (identical math to the in-step assembly)
     from sgp_tpu.ops import GlobalMeanOperator
-    ds.add_covariate("encoded_x", h_temporal, pattern="t n c")
-    ds.set_input_keys(["encoded_x"])
+    from sgp_tpu.train.fused_window import make_fused_eval
     eval_ops = list(ops) + ([GlobalMeanOperator(ds.n_nodes)]
                             if args.global_attr else [])
     metrics = MaskedMetrics.forecasting()
@@ -257,18 +257,27 @@ def run_experiment_stratified(args):
     predictor.params = best_params
     predictor._build_steps(ds.scaler_params())
     predictor.save(f"{args.logdir}/best.msgpack")
-    test_loader = SGPLoader(ds, eval_ops, items=split.test,
-                            batch_size=args.batch_inference or 16)
-    results = predictor.evaluate(test_loader, prefix="test_")
+    test_eval = make_fused_eval(
+        model, h_temporal, jnp.asarray(ds.target), jnp.asarray(ds.mask),
+        ds.indices()[split.test],
+        jnp.asarray(ds.windowing.window_offsets()),
+        jnp.asarray(ds.windowing.horizon_offsets()),
+        ds.scaler_params(), metrics, u=u, support_ops=eval_ops,
+        batch_size=args.batch_inference or 16)
+    results = {f"test_{k}": v for k, v in test_eval(best_params).items()}
     results["train_mae"] = best_loss
     results["train_time_s"] = train_time
     logger.info(f"results: {results}")
     return results
 
 
-if __name__ == "__main__":
+def configure_parser_largescale():
     from sgp_tpu.exp.common import str2bool
     parser = configure_parser()
     parser.add_argument("--iid-stratified", type=str2bool, default=False)
     parser.add_argument("--times-per-batch", type=int, default=32)
-    Experiment(run_experiment, parser).run()
+    return parser
+
+
+if __name__ == "__main__":
+    Experiment(run_experiment, configure_parser_largescale()).run()

@@ -235,25 +235,49 @@ def run_experiment(args):
         val_loader = WindowedLoader(ds, split.val, batch_size=infer_bs)
         test_loader = WindowedLoader(ds, split.test, batch_size=infer_bs)
 
-    if (args.fused and args.model_name == "sgp"
-            and not args.iid_sampling):
-        _fit_fused(args, ds, split, model, predictor, val_loader,
-                   support_ops, batches_epoch)
+    fused = (args.fused and args.model_name == "sgp"
+             and not args.iid_sampling)
+    if fused:
+        _fit_fused(args, ds, split, model, predictor,
+                   support_ops, batches_epoch, infer_bs)
     else:
         predictor.fit(train_loader, val_loader, epochs=args.epochs,
                       patience=args.patience, scaler=ds.scaler_params(),
                       logdir=args.logdir)
     predictor.save(f"{args.logdir}/best.msgpack")
-    results = predictor.evaluate(test_loader, prefix="test_")
+    if fused:
+        test_eval = _fused_eval_for(ds, model, predictor, split.test,
+                                    support_ops, infer_bs)
+        results = {f"test_{k}": v
+                   for k, v in test_eval(predictor.params).items()}
+    else:
+        results = predictor.evaluate(test_loader, prefix="test_")
     logger.info(f"test: {results}")
     return results
 
 
-def _fit_fused(args, ds, split, model, predictor, val_loader,
-               support_ops, batches_epoch):
+def _fused_eval_for(ds, model, predictor, items, support_ops, batch_size):
+    """One-dispatch eval over a split (VERDICT round-1 Next-4)."""
+    import jax.numpy as jnp
+
+    from sgp_tpu.train.fused_window import make_fused_eval
+
+    u_arr = ds.exog_array()
+    return make_fused_eval(
+        model, jnp.asarray(ds.input_array()), jnp.asarray(ds.target),
+        jnp.asarray(ds.mask), ds.indices()[items],
+        jnp.asarray(ds.windowing.window_offsets()),
+        jnp.asarray(ds.windowing.horizon_offsets()),
+        ds.scaler_params(), predictor.metrics,
+        u=None if u_arr is None else jnp.asarray(u_arr),
+        support_ops=support_ops, batch_size=batch_size)
+
+
+def _fit_fused(args, ds, split, model, predictor,
+               support_ops, batches_epoch, infer_bs):
     """Scan-fused windowed training: one device dispatch per epoch
-    (``sgp_tpu/train/fused_window.py``); val eval + early stopping +
-    best-checkpoint per epoch as in Predictor.fit."""
+    (``sgp_tpu/train/fused_window.py``) + ONE-dispatch fused val eval;
+    early stopping + best-checkpoint per epoch as in Predictor.fit."""
     import time
 
     import jax
@@ -281,6 +305,9 @@ def _fit_fused(args, ds, split, model, predictor, val_loader,
         from sgp_tpu.data.sgp_loader import apply_support
         first["x"] = apply_support(jnp.asarray(first["x"]), support_ops)
     predictor.init(first, ds.scaler_params())
+    val_eval = _fused_eval_for(ds, model, predictor, split.val,
+                               support_ops, infer_bs) \
+        if len(split.val) else None
     key = jax.random.PRNGKey(args.seed)
     best, best_params, bad = np.inf, predictor.params, 0
     for epoch in range(args.epochs):
@@ -289,8 +316,9 @@ def _fit_fused(args, ds, split, model, predictor, val_loader,
         predictor.params, predictor.opt_state, loss = step(
             predictor.params, predictor.opt_state, k)
         logs = {"train_loss": float(loss)}
-        if val_loader is not None:
-            logs.update(predictor.evaluate(val_loader, prefix="val_"))
+        if val_eval is not None:
+            logs.update({f"val_{k2}": v
+                         for k2, v in val_eval(predictor.params).items()})
             current = logs["val_mae"]
         else:
             current = logs["train_loss"]

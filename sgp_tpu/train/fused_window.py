@@ -18,10 +18,11 @@ from typing import Callable, List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from sgp_tpu.data.scalers import ScalerParams
-from sgp_tpu.train.metrics import _METRIC_FNS, _masked_reduce
+from sgp_tpu.train.metrics import MaskedMetrics, _METRIC_FNS, _masked_reduce
 
 
 def make_fused_window_step(model, optimizer,
@@ -102,3 +103,80 @@ def make_fused_window_step(model, optimizer,
         return _multi(params, opt_state, rng, data)
 
     return step
+
+
+def make_fused_eval(model, x_full, target, mask,
+                    item_starts, window_offsets, horizon_offsets,
+                    scaler: ScalerParams, metrics: MaskedMetrics,
+                    u=None, support_ops=None, batch_size: int = 64,
+                    apply_fn=None):
+    """Fused full-pass evaluation: window gather, forward,
+    inverse-transform and masked metric accumulation over ALL eval items
+    run as ONE jitted ``lax.scan`` over batches — one device dispatch
+    per eval pass instead of one per batch (the reference's eval loop,
+    ``tsl/predictors/base_predictor.py:267-303``, re-built for a
+    high-latency device link; VERDICT round-1 Next-4).
+
+    Items are padded to a multiple of ``batch_size``; padded slots carry
+    ``valid=False`` and drop out of every metric's mask. Returns
+    ``eval_fn(params) -> {metric: float}``.
+
+    ``apply_fn(params, x, u) -> y_hat`` overrides the default
+    ``model.apply(params, x, u=u, training=False)`` for models that need
+    extra operands (graph operators etc.).
+    """
+    item_starts = np.asarray(item_starts)
+    s = len(item_starts)
+    n_batches = -(-s // batch_size)
+    pad = n_batches * batch_size - s
+    starts = np.concatenate(
+        [item_starts, np.full(pad, item_starts[0] if s else 0,
+                              item_starts.dtype)])
+    valid = np.concatenate([np.ones(s, bool), np.zeros(pad, bool)])
+    starts = jnp.asarray(starts).reshape(n_batches, batch_size)
+    valid = jnp.asarray(valid).reshape(n_batches, batch_size)
+    has_u = u is not None
+    data = (x_full, target, mask, starts, valid,
+            jnp.asarray(window_offsets), jnp.asarray(horizon_offsets)) \
+        + ((tuple(support_ops),) if support_ops is not None else ()) \
+        + ((u,) if has_u else ())
+
+    if apply_fn is None:
+        def apply_fn(params, x, u):
+            kwargs = {} if u is None else {"u": u}
+            return model.apply(params, x, training=False, **kwargs)
+
+    @jax.jit
+    def _eval(params, data):
+        xf, tgt, msk, starts, valid, w_off, h_off = data[:7]
+        rest = data[7:]
+        ops = rest[0] if support_ops is not None else None
+        u_arr = rest[-1] if has_u else None
+
+        def body(state, inp):
+            items, ok = inp                       # [B], [B] bool
+            w_steps = items[:, None] + w_off[None, :]
+            h_steps = items[:, None] + h_off[None, :]
+            x = xf[w_steps]                       # [B, W, N, C]
+            if ops is not None:
+                parts = [x]
+                for op in ops:
+                    parts.append(op @ x)
+                x = jnp.concatenate(parts, -1)
+            y = tgt[h_steps]
+            m = msk[h_steps] & ok[:, None, None, None]
+            uu = None if u_arr is None else u_arr[w_steps]
+            y_hat = apply_fn(params, x, uu)
+            y_hat = scaler.inverse_transform(y_hat)
+            return metrics.update(state, y_hat, y, m), None
+
+        state, _ = jax.lax.scan(body, metrics.init(), (starts, valid))
+        return state
+
+    def eval_fn(params):
+        state = jax.block_until_ready(_eval(params, data))
+        return metrics.compute(state)
+
+    eval_fn.core = _eval
+    eval_fn.data = data
+    return eval_fn

@@ -59,3 +59,39 @@ def test_fused_window_with_support(rng):
         support_ops=ops, batch_size=8)
     p2, _, loss = step(params, opt.init(params), key)
     assert np.isfinite(float(loss))
+
+
+def test_fused_eval_matches_loader_eval(rng):
+    """One-dispatch fused eval == the loader-based Predictor.evaluate
+    on the same split (incl. non-divisible item count -> padding)."""
+    from sgp_tpu.data import (SpatioTemporalDataset, StandardScaler,
+                              WindowedLoader, Windowing)
+    from sgp_tpu.train import Predictor
+    from sgp_tpu.train.fused_window import make_fused_eval
+    from sgp_tpu.train.metrics import MaskedMetrics
+
+    t, n, c = 90, 6, 1
+    data = rng.standard_normal((t, n, c)).astype(np.float32)
+    mask = rng.random((t, n, c)) > 0.1
+    ds = SpatioTemporalDataset(data, mask=mask,
+                               windowing=Windowing(window=3, horizon=2))
+    ds.fit_scaler(StandardScaler(axis=(0, 1)))
+    model = SGPModel(input_size=c, order=1, n_nodes=n, hidden_size=12,
+                     mlp_size=8, output_size=1, n_layers=1, horizon=2,
+                     positional_encoding=False)
+    metrics = MaskedMetrics.forecasting()
+    pred = Predictor(model, metrics=metrics)
+    loader = WindowedLoader(ds, batch_size=16)
+    first = next(iter(loader))
+    pred.init(first, ds.scaler_params())
+    expect = pred.evaluate(WindowedLoader(ds, batch_size=16))
+
+    x_full = jnp.asarray(ds.input_array())
+    eval_fn = make_fused_eval(
+        model, x_full, jnp.asarray(ds.target), jnp.asarray(ds.mask),
+        ds.indices(), jnp.asarray(ds.windowing.window_offsets()),
+        jnp.asarray(ds.windowing.horizon_offsets()),
+        ds.scaler_params(), metrics, batch_size=16)
+    got = eval_fn(pred.params)
+    for k in expect:
+        np.testing.assert_allclose(got[k], expect[k], rtol=1e-4), k

@@ -1,0 +1,42 @@
+"""End-to-end runner smoke tests on tiny synthetic data (CPU): the
+fused traffic path (fused train + one-dispatch fused val/test eval) and
+the large-scale IID path (device-resident encode + fused IID train +
+fused test eval)."""
+import numpy as np
+
+from sgp_tpu.exp.common import Experiment
+
+
+def _run(run_experiment, configure_parser, argv):
+    return Experiment(run_experiment, configure_parser()).run(argv)
+
+
+BASE = ["--dataset-name", "synthetic", "--synthetic-nodes", "12",
+        "--synthetic-steps", "160", "--epochs", "2",
+        "--batches-epoch", "2", "--reservoir-size", "4",
+        "--mlp-size", "8", "--hidden-size", "16", "--batch-size", "8",
+        "--seed", "0", "--patience", "5"]
+
+
+def test_traffic_runner_fused_eval():
+    from sgp_tpu.exp.run_traffic_sgp import (configure_parser,
+                                             run_experiment)
+    res = _run(run_experiment, configure_parser,
+               BASE + ["--fused", "true"])
+    assert np.isfinite(res["test_mae"])
+    assert np.isfinite(res["test_mse"])
+
+
+def test_largescale_runner_fused_eval():
+    from sgp_tpu.exp.run_largescale_sgp import (configure_parser,
+                                                run_experiment)
+    res = _run(run_experiment, configure_parser, list(BASE))
+    assert np.isfinite(res["test_mae"])
+
+
+def test_largescale_runner_stratified():
+    from sgp_tpu.exp.run_largescale_sgp import (
+        configure_parser_largescale as configure_parser, run_experiment)
+    res = _run(run_experiment, configure_parser,
+               BASE + ["--iid-stratified", "true"])
+    assert np.isfinite(res["test_mae"])
