@@ -51,6 +51,50 @@ class DenseSpatialConvOrderK(nn.Module):
         return nn.Dense(self.output_size)(jnp.concatenate(out, -1))
 
 
+class _GWNetBlock(nn.Module):
+    """``len(dilations)`` consecutive GWNet layers on a CONSTANT-length
+    time buffer: every temporal conv is causally left-padded so shapes
+    never shrink, and a per-layer validity mask (right-aligned, shrinking
+    by ``d*(k-1)`` per layer exactly like the reference's VALID convs)
+    restricts the batch-norm statistics — making the activations on the
+    valid tail equal the shrinking-buffer implementation
+    (``graph_wavenet_model.py:125-162``) while the constant shapes admit
+    ``nn.scan`` over layer blocks (compile-time ~1 block, not n_layers).
+    """
+    hidden_size: int
+    ff_size: int
+    temporal_kernel_size: int
+    spatial_kernel_size: int
+    dilations: Sequence[int]
+    learned_adjacency: bool
+    norm: str
+    dropout: float
+    training: bool
+
+    @nn.compact
+    def __call__(self, carry, masks, supports, adj_z):
+        x, out = carry
+        for j, d in enumerate(self.dilations):
+            res = x
+            x = TemporalConvNet(self.hidden_size,
+                                self.temporal_kernel_size, dilation=d,
+                                gated=True, causal_padding=True)(x)
+            out = nn.Dense(self.ff_size)(x) + out
+            xs = DiffConv(self.hidden_size,
+                          self.spatial_kernel_size)(x, supports)
+            if self.learned_adjacency:
+                x = xs + DenseSpatialConvOrderK(
+                    self.hidden_size, self.spatial_kernel_size)(x, adj_z)
+            else:
+                x = xs
+            if self.dropout > 0:
+                x = nn.Dropout(self.dropout,
+                               deterministic=not self.training)(x)
+            x = x + res
+            x = Norm(self.norm)(x, time_mask=masks[j])
+        return (x, out), None
+
+
 class GraphWaveNetModel(nn.Module):
     hidden_size: int
     ff_size: int
@@ -67,6 +111,7 @@ class GraphWaveNetModel(nn.Module):
     dilation_mod: int = 2
     norm: str = "batch"
     dropout: float = 0.0
+    scan_layers: bool = True
 
     @nn.compact
     def __call__(self, x, supports: Sequence[Operator], u=None,
@@ -87,6 +132,14 @@ class GraphWaveNetModel(nn.Module):
         if receptive_field > x.shape[1]:
             x = jnp.pad(x, ((0, 0), (receptive_field - x.shape[1], 0),
                             (0, 0), (0, 0)))
+        buf_len = x.shape[1]
+        # right-aligned validity after each layer's (virtual) shrink
+        import numpy as np
+        valid, masks = buf_len, []
+        for d in dilations:
+            valid -= d * (self.temporal_kernel_size - 1)
+            masks.append(np.arange(buf_len) >= buf_len - valid)
+        masks = jnp.asarray(np.stack(masks))          # [n_layers, L]
 
         if self.learned_adjacency:
             # node_index-aware slice (``lib/nn/models/gwnet_model.py``)
@@ -95,27 +148,39 @@ class GraphWaveNetModel(nn.Module):
             dst = StaticGraphEmbedding(self.n_nodes, self.emb_size)(
                 token_index=node_index)
             adj_z = nn.softmax(nn.relu(src @ dst.T), axis=1)
+        else:
+            adj_z = None
 
         x = nn.Dense(self.hidden_size)(x)
-        out = jnp.zeros(x.shape[:1] + (x.shape[1], 1, 1), x.dtype)
-        for i, d in enumerate(dilations):
-            res = x
-            x = TemporalConvNet(self.hidden_size,
-                                self.temporal_kernel_size, dilation=d,
-                                gated=True, causal_padding=False)(x)
-            out = nn.Dense(self.ff_size)(x) + out[:, -x.shape[1]:]
-            xs = DiffConv(self.hidden_size,
-                          self.spatial_kernel_size)(x, supports)
-            if self.learned_adjacency:
-                x = xs + DenseSpatialConvOrderK(
-                    self.hidden_size, self.spatial_kernel_size)(x, adj_z)
-            else:
-                x = xs
-            if self.dropout > 0:
-                x = nn.Dropout(self.dropout,
-                               deterministic=not training)(x)
-            x = x + res[:, -x.shape[1]:]
-            x = Norm(self.norm)(x)
+        out = jnp.zeros(x.shape[:3] + (self.ff_size,), x.dtype)
+        block_kw = dict(hidden_size=self.hidden_size,
+                        ff_size=self.ff_size,
+                        temporal_kernel_size=self.temporal_kernel_size,
+                        spatial_kernel_size=self.spatial_kernel_size,
+                        learned_adjacency=self.learned_adjacency,
+                        norm=self.norm, dropout=self.dropout,
+                        training=training)
+        # dilations cycle with period dilation_mod -> partition into
+        # identical blocks (of 1 layer if the period doesn't divide)
+        bs = self.dilation_mod if self.n_layers % self.dilation_mod == 0 \
+            else 1
+        n_blocks = self.n_layers // bs
+        block_dils = tuple(dilations[:bs])
+        block_masks = masks.reshape(n_blocks, bs, -1)
+        if self.scan_layers and n_blocks > 1:
+            scanned = nn.scan(
+                nn.remat(_GWNetBlock), length=n_blocks,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(0, nn.broadcast, nn.broadcast))(
+                    dilations=block_dils, **block_kw)
+            (x, out), _ = scanned((x, out), block_masks,
+                                  tuple(supports), adj_z)
+        else:
+            for i in range(n_blocks):
+                (x, out), _ = _GWNetBlock(dilations=block_dils,
+                                          **block_kw)(
+                    (x, out), block_masks[i], tuple(supports), adj_z)
 
         out = nn.relu(out)
         return MLPDecoder(2 * self.ff_size, self.output_size,

@@ -77,14 +77,29 @@ class Norm(nn.Module):
     kind: str = "none"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, time_mask=None):
+        """``time_mask [s]`` (bool) restricts the ``batch`` statistics to
+        valid time positions — used by constant-length-buffer stacks
+        (GWNet scan-over-layers) to reproduce the shrinking-buffer
+        semantics exactly. ``layer``/``none`` are per-position and
+        ignore it."""
         if self.kind == "none":
             return x
         if self.kind == "layer":
             return nn.LayerNorm()(x)
         if self.kind == "batch":
-            mean = x.mean(axis=tuple(range(x.ndim - 1)), keepdims=True)
-            var = x.var(axis=tuple(range(x.ndim - 1)), keepdims=True)
+            if time_mask is None:
+                mean = x.mean(axis=tuple(range(x.ndim - 1)), keepdims=True)
+                var = x.var(axis=tuple(range(x.ndim - 1)), keepdims=True)
+            else:
+                w = time_mask.astype(x.dtype).reshape(
+                    (1, -1) + (1,) * (x.ndim - 2))
+                axes = tuple(range(x.ndim - 1))
+                cnt = jnp.maximum(
+                    w.sum() * (x.size // (x.shape[1] * x.shape[-1])), 1.0)
+                mean = (x * w).sum(axis=axes, keepdims=True) / cnt
+                var = (jnp.square(x - mean) * w).sum(
+                    axis=axes, keepdims=True) / cnt
             scale = self.param("scale", nn.initializers.ones,
                                (x.shape[-1],))
             bias = self.param("bias", nn.initializers.zeros,
