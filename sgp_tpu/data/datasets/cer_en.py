@@ -23,14 +23,22 @@ class CEREn(TabularDataset):
     similarity_options = {"correntropy", "pearson"}
 
     def load(self):
-        import pandas as pd
+        from sgp_tpu.data.datasets.build import build_cer_en, read_hdf_any
         path = os.path.join(self.root, "cer_en.h5")
         if not os.path.exists(path):
+            # build-from-raw: the six licensed File<i>.txt.zip archives
+            # (``lib/datasets/cer_en.py:78-114``)
+            zips = [f for f in (os.listdir(self.root)
+                                if os.path.isdir(self.root) else [])
+                    if f.endswith(".zip")]
+            if zips:
+                build_cer_en(self.root)
+        if not os.path.exists(path):
             raise FileNotFoundError(
-                f"CEREn: expected {path}; the CER dataset is "
-                "license-gated — provide the built file or use "
-                "SyntheticDiffusion.")
-        df = pd.read_hdf(path)
+                f"CEREn: expected {path} (or the raw File<i>.txt.zip "
+                "archives); the CER dataset is license-gated — provide "
+                "the files or use SyntheticDiffusion.")
+        df = read_hdf_any(path)
         df = df.asfreq("30min")
         values = df.values.astype(np.float32)
         self.mask = (~np.isnan(values))[..., None]

@@ -33,6 +33,29 @@ class PvUS(TabularDataset):
         self.mask_zeros = mask_zeros
         super().__init__(root=root)
 
+    @staticmethod
+    def _read_zone(path):
+        """Raw NREL zone HDF5 (keys ``actual``/``metadata``); pandas
+        (pytables) layout first, portable h5py layout as fallback."""
+        import pandas as pd
+        try:
+            return (pd.read_hdf(path, key="actual"),
+                    pd.read_hdf(path, key="metadata"))
+        except ImportError:
+            import h5py
+
+            from sgp_tpu.data.datasets.build import load_frame_h5
+            actual = load_frame_h5(path, key="actual")
+            with h5py.File(path, "r") as f:
+                grp = f["metadata"]
+                cols = {k: grp[k][()] for k in grp}
+            md = pd.DataFrame(
+                {k: (v.astype(str) if v.dtype.kind == "S" else v)
+                 for k, v in cols.items()})
+            if "plant_id" in md.columns:
+                md = md.set_index("plant_id")
+            return actual, md
+
     def load(self):
         import pandas as pd
         actual, metadata = [], []
@@ -42,15 +65,17 @@ class PvUS(TabularDataset):
                 raise FileNotFoundError(
                     f"PvUS: expected {path}; no egress — provide files "
                     "locally or use SyntheticDiffusion.")
-            actual.append(pd.read_hdf(path, key="actual"))
-            metadata.append(pd.read_hdf(path, key="metadata"))
+            a, m = self._read_zone(path)
+            actual.append(a)
+            metadata.append(m)
         actual = pd.concat(actual, axis=1).sort_index(axis=1, level=0)
         metadata = pd.concat(metadata, axis=0).sort_index()
         if len(self.zones) == 2:
             dup = metadata.index[[sid.endswith("-east")
                                   for sid in metadata.state_id]]
             metadata = metadata.drop(dup, axis=0)
-            actual = actual.drop(dup, axis=1, level=0)
+            lvl = 0 if isinstance(actual.columns, pd.MultiIndex) else None
+            actual = actual.drop(dup, axis=1, level=lvl)
         values = actual.values.astype(np.float32)
         self.target = values[..., None]
         self.mask = ((values > 0) if self.mask_zeros
