@@ -86,6 +86,15 @@ class Experiment:
         np.random.seed(args.seed)
         logger.info(f"SEED: {args.seed}")
 
+        if getattr(args, "num_processes", None):
+            # multi-host init must precede any device/mesh query
+            from sgp_tpu.parallel import init_distributed
+            n = init_distributed(
+                coordinator_address=args.coordinator_address,
+                num_processes=args.num_processes,
+                process_id=args.process_id)
+            logger.info(f"distributed: {n} process(es)")
+
         exp_name = (datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
                     + f"_{args.seed}")
         logdir = os.path.join(global_config["logs_dir"],
@@ -133,6 +142,12 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--adj-threshold", type=float, default=0.1)
     parser.add_argument("--synthetic-nodes", type=int, default=64)
     parser.add_argument("--synthetic-steps", type=int, default=2000)
+    # multi-host (pod-slice) execution: a config change, not a code
+    # change (SURVEY.md §5.8). Launch one process per host with the same
+    # coordinator and its process id; meshes then span all hosts.
+    parser.add_argument("--coordinator-address", type=str, default=None)
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     return parser
 
 

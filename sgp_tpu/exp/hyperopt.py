@@ -1,10 +1,12 @@
-"""Sequential hyperparameter search.
+"""Hyperparameter search (sequential or worker-parallel).
 
 Counterpart of the reference's test_tube multi-trial harness
 (``tsl/utils/experiment.py:54-83`` + ``opt_list`` tunables): sample
-trial configurations from per-flag option lists (grid or random),
-run them sequentially, swallow per-trial runtime errors (``:63-73``),
-and report the best trial by a monitored metric.
+trial configurations from per-flag option lists (grid or random), run
+them (``n_workers > 1`` runs trials concurrently, the analog of
+test_tube's worker pool — use workers only for CPU runs; the single
+remote TPU must be serialized), swallow per-trial runtime errors
+(``:63-73``), and report the best trial by a monitored metric.
 """
 from __future__ import annotations
 
@@ -39,27 +41,40 @@ def run_search(run_fn: Callable[[Dict], Dict],
                monitor: str = "test_mae",
                minimize: bool = True,
                seed: int = 0,
+               n_workers: int = 1,
                out_path: Optional[str] = None) -> Dict:
     """Run trials of ``run_fn(config) -> metrics dict``; returns
-    ``{"best_config", "best_metrics", "trials"}``."""
+    ``{"best_config", "best_metrics", "trials"}``. ``n_workers > 1``
+    dispatches trials to a thread pool (XLA releases the GIL during
+    compile/execute, so CPU trials genuinely overlap)."""
     trials = (grid_trials(space) if mode == "grid"
               else random_trials(space, n_trials, seed))
-    results = []
-    best = None
     sign = 1.0 if minimize else -1.0
-    for i, overrides in enumerate(trials):
+
+    def one_trial(i_overrides):
+        i, overrides = i_overrides
         cfg = {**base_config, **overrides}
         logger.info(f"trial {i + 1}/{len(trials)}: {overrides}")
         try:
-            metrics = run_fn(cfg)
+            return {"config": overrides, "metrics": run_fn(cfg)}
         except RuntimeError as e:  # reference swallows per-trial errors
             logger.warning(f"trial {i} failed: {e}")
-            results.append({"config": overrides, "error": str(e)})
+            return {"config": overrides, "error": str(e)}
+
+    if n_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            results = list(pool.map(one_trial, enumerate(trials)))
+    else:
+        results = [one_trial(item) for item in enumerate(trials)]
+
+    best = None
+    for rec in results:
+        if "metrics" not in rec:
             continue
-        results.append({"config": overrides, "metrics": metrics})
-        score = sign * metrics[monitor]
+        score = sign * rec["metrics"][monitor]
         if best is None or score < best[0]:
-            best = (score, overrides, metrics)
+            best = (score, rec["config"], rec["metrics"])
     out = {"best_config": best[1] if best else None,
            "best_metrics": best[2] if best else None,
            "trials": results}

@@ -92,3 +92,21 @@ def test_hyperopt_through_runner():
                      monitor="test_mae")
     assert out["best_config"]["hidden_size"] in (8, 16)
     assert len(out["trials"]) == 2
+
+
+def test_hyperopt_parallel_workers():
+    """n_workers>1 runs all trials and picks the same best as serial."""
+    from sgp_tpu.exp.hyperopt import run_search
+
+    def run_fn(cfg):
+        return {"test_mae": abs(cfg["h"] - 12)}
+
+    space = {"h": [8, 12, 16, 20]}
+    serial = run_search(run_fn, {}, space, mode="grid",
+                        monitor="test_mae")
+    par = run_search(run_fn, {}, space, mode="grid",
+                     monitor="test_mae", n_workers=4)
+    assert par["best_config"] == serial["best_config"] == {"h": 12}
+    assert len(par["trials"]) == 4
+    assert [t["config"] for t in par["trials"]] == \
+        [t["config"] for t in serial["trials"]]
