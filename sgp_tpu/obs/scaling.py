@@ -33,9 +33,13 @@ def _time(fn, *args, iters=20) -> float:
 def propagation_scaling(g: Graph, feat: int = 128, k: int = 2,
                         n_devices: int = None) -> Dict[str, float]:
     """edges/s of K-hop propagation single-device vs node-sharded over
-    the mesh; efficiency = sharded/(single * n_devices) when devices
-    actually add FLOPs (on a virtual CPU mesh the devices share cores,
-    so efficiency measures sharding overhead instead of speedup)."""
+    the mesh (boundary halo exchange), plus the communication ledger:
+    bytes exchanged per hop per device (``S * B_max * F``) vs what a
+    full all-gather would move (``N * F``) — VERDICT round-1 Next-2's
+    done-criterion. Efficiency on a virtual CPU mesh measures sharding
+    overhead (the devices share cores), on real chips speedup."""
+    from sgp_tpu.parallel.halo import build_halo_spec, halo_khop, shard_nodes
+
     n_devices = n_devices or len(jax.devices())
     rng = np.random.default_rng(0)
     x = jnp.asarray(
@@ -52,22 +56,39 @@ def propagation_scaling(g: Graph, feat: int = 128, k: int = 2,
     t_single = _time(khop_single, x)
 
     mesh = make_mesh(1, n_devices)
+    spec = build_halo_spec(g, n_devices)
+    xs = shard_nodes(x, mesh, "model")
+
+    def khop_halo_fn(xv):
+        return halo_khop(spec, xv, mesh, k=k, axis="model")
+
+    with mesh:
+        t_halo = _time(khop_halo_fn, xs)
+
+    # legacy full-all-gather sharding, for the comparison ledger
     op_s = shard_operator(op, mesh)
 
     @jax.jit
-    def khop_sharded(x):
+    def khop_allgather(x):
         cur = x
         for _ in range(k):
             cur = sharded_spmm(op_s, cur, mesh)
         return cur
 
     with mesh:
-        t_sharded = _time(khop_sharded, x)
+        t_allgather = _time(khop_allgather, x)
 
     edges = g.num_edges * k
     return {
         "n_devices": n_devices,
         "edges_per_s_single": edges / t_single,
-        "edges_per_s_sharded": edges / t_sharded,
-        "sharded_over_single": t_single / t_sharded,
+        "edges_per_s_halo": edges / t_halo,
+        "edges_per_s_allgather": edges / t_allgather,
+        "halo_over_single": t_single / t_halo,
+        "halo_bytes_per_hop_per_device": spec.bytes_per_hop(feat),
+        "allgather_bytes_per_hop_per_device":
+            spec.dense_gather_bytes(feat),
+        "halo_comm_fraction": spec.bytes_per_hop(feat)
+            / max(spec.dense_gather_bytes(feat), 1),
+        "boundary_b_max": spec.b_max,
     }

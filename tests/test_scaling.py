@@ -18,7 +18,12 @@ def test_propagation_scaling_runs(rng):
         rng.random(4000).astype(np.float32), 256)), "row")
     out = propagation_scaling(g, feat=64, k=2, n_devices=8)
     assert out["edges_per_s_single"] > 0
-    assert out["edges_per_s_sharded"] > 0
+    assert out["edges_per_s_halo"] > 0
+    assert out["edges_per_s_allgather"] > 0
+    assert 0 < out["halo_comm_fraction"]
+    # a random graph has a dense boundary, so just sanity-bound it
+    assert out["halo_bytes_per_hop_per_device"] <= \
+        8 * out["allgather_bytes_per_hop_per_device"]
 
 
 def test_hyperopt_grid_and_random():
