@@ -244,3 +244,47 @@ def test_stratified_gather_spmm_matches_full_propagation(rng):
     x_new = jnp.concatenate(parts, -1)
     np.testing.assert_allclose(np.asarray(x_new), np.asarray(x_old),
                                atol=1e-5)
+
+
+def test_stratified_assembly_modes_agree(rng):
+    """``assembly='full_prop'`` (square-GEMM + row gather, the TPU fast
+    path) must produce the same training trajectory as
+    ``assembly='gather_rows'`` for the same RNG stream; bf16 supports
+    stay close."""
+    import optax
+    from sgp_tpu.data.sgp_loader import build_support_operators
+    from sgp_tpu.graph import Graph, coalesce
+    from sgp_tpu.train.iid import make_fused_iid_stratified_step
+
+    t, n, h_dim = 50, 10, 4
+    g = coalesce(Graph(rng.integers(0, n, 40), rng.integers(0, n, 40),
+                       rng.random(40).astype(np.float32), n))
+    ops = build_support_operators(g, k=2)
+    ht = jnp.asarray(rng.standard_normal((t, n, h_dim)).astype(np.float32))
+    tgt = jnp.asarray(rng.standard_normal((t, n, 1)).astype(np.float32))
+    d_total = h_dim * (1 + len(ops) + 1)
+    model = SGPModel(input_size=d_total, order=4, n_nodes=n,
+                     hidden_size=12, mlp_size=8, output_size=1,
+                     n_layers=1, horizon=2, positional_encoding=False)
+    key = jax.random.PRNGKey(7)
+    params = model.init({"params": key, "dropout": key},
+                        jnp.zeros((4, d_total)),
+                        node_index=jnp.zeros(4, jnp.int32), iid=True)
+    opt = optax.adam(1e-3)
+
+    def run(assembly, support_dtype=None):
+        step = make_fused_iid_stratified_step(
+            model, opt, ht, tgt, jnp.ones((t, n, 1), bool),
+            jnp.arange(t - 3), 1 + jnp.arange(2),
+            ScalerParams(jnp.zeros(1), jnp.ones(1)), ops,
+            global_attr=True, times_per_batch=3, nodes_per_time=5,
+            steps_per_call=4, assembly=assembly,
+            support_dtype=support_dtype)
+        p, s, loss = step(params, opt.init(params), key)
+        return float(loss)
+
+    l_rows = run("gather_rows")
+    l_full = run("full_prop")
+    assert abs(l_rows - l_full) < 1e-4, (l_rows, l_full)
+    l_bf16 = run("full_prop", jnp.bfloat16)
+    assert abs(l_rows - l_bf16) < 5e-2, (l_rows, l_bf16)
