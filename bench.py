@@ -1,56 +1,100 @@
 """Benchmark: SGP pipeline at PV-US scale on one TPU chip.
 
 Prints ONE JSON line. Headline metric: fused IID decoder-training
-throughput (batch/s at batch 4096) at PV-US scale (5,016 nodes, 100-nn
-graph, sgp_pv.yaml decoder shape) vs the reference's 116.58 batch/s on
-an RTX A5000 (BASELINE.md Table 2). Also reports encoder-precompute
-wall-clock and per-chip SpMM edge throughput.
+throughput (batch/s at batch 4096) at PV-US spatial scale (5,016 nodes,
+100-nn graph, sgp_pv.yaml decoder shape) vs the reference's 116.58
+batch/s on an RTX A5000 (BASELINE.md Table 2). Extras report honest
+compile times, an MFU estimate from XLA's own cost analysis, the
+beyond-HBM stratified trainer at TRUE temporal scale (T=8,868, the full
+PV-US year; T=4,434 fallback), and the N=40,960 block-sparse regime
+where a dense [N, N] operator no longer fits (Pallas BSR vs COO — the
+BSR win region).
+
+Structure: each section runs in its own SUBPROCESS. The remote-TPU
+backend does not reliably return HBM freed by a live process (buffers
+deleted in Python stay allocated server-side until the session ends),
+so cumulative allocations across sections would OOM a single process;
+per-section processes give every section a fresh chip. Sections run
+strictly sequentially — only one process may hold the TPU tunnel.
+
+All large arrays are generated ON DEVICE (the tunnel moves MB/s).
 """
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 BASELINE_BATCH_S = 116.58  # PV-US 100-nn SGP row, BASELINE.md
+BUDGET_S = 1500            # soft wall-clock budget for the whole run
+                           # (the driver applies no timeout: round-1's
+                           # run recorded a 765 s first compile; the
+                           # tunnel compile service's latency swings
+                           # 17-765 s for the same program)
+PEAK_BF16_FLOPS = 197e12   # TPU v5e peak (MXU bf16)
+
+N_NODES, T_STEPS, T_TRUE = 5016, 1024, 8868
+HORIZON, HORIZON_LAG = 22, 7
 
 
-def main():
+def _sync(arr):
+    """True host-side sync: fetch one element. block_until_ready alone
+    under-syncs on the remote backend (measured)."""
+    import jax.numpy as jnp
+    return float(jnp.ravel(arr)[0].astype(jnp.float32))
+
+
+def _build_graph():
+    from sgp_tpu.graph import Graph, coalesce, normalize_adj
+    from sgp_tpu.graph.similarities import top_k
+
+    rng = np.random.default_rng(0)
+    pos = rng.random((N_NODES, 2)).astype(np.float32)
+    d2 = ((pos[:, None] - pos[None]) ** 2).sum(-1)
+    sim = np.exp(-d2 / 0.01)
+    np.fill_diagonal(sim, 0)
+    adj = top_k(sim, 100, include_self=True, keep_values=True)
+    return normalize_adj(coalesce(Graph.from_dense(adj)), "row")
+
+
+def _decoder(input_size: int):
+    from sgp_tpu.models import SGPModel
+    h_steps = len(range(0, HORIZON, HORIZON_LAG))      # 4 eval steps
+    return SGPModel(input_size=input_size, order=32, n_nodes=N_NODES,
+                    hidden_size=960, mlp_size=256, output_size=1,
+                    n_layers=2, horizon=h_steps,
+                    positional_encoding=True, emb_size=32, resnet=True)
+
+
+def section_headline() -> dict:
+    """Encoder precompute + SpMM + fused IID training + MFU (sgp_pv.yaml
+    shapes). Peak cumulative HBM ~11 GB (encode runs twice)."""
     import jax
     import jax.numpy as jnp
     import optax
 
     from sgp_tpu.data import ScalerParams
-    from sgp_tpu.encode import Reservoir, sgp_spatial_embedding
-    from sgp_tpu.graph import Graph, coalesce, normalize_adj
-    from sgp_tpu.graph.similarities import gaussian_kernel, top_k
-    from sgp_tpu.models import SGPModel
+    from sgp_tpu.encode import Reservoir
     from sgp_tpu.ops import build_operator, spmm
-    from sgp_tpu.train.iid import make_fused_iid_multi_step
+    from sgp_tpu.train.iid import (make_fused_iid_multi_step,
+                                   make_fused_iid_step)
 
-    rng = np.random.default_rng(0)
-    n_nodes, t_steps = 5016, 1024
-    horizon, horizon_lag = 22, 7
-
-    # --- 100-nn graph over random plant positions (PV-US shape)
-    pos = rng.random((n_nodes, 2)).astype(np.float32)
-    # build knn graph without materializing all-pairs distances twice
-    d2 = ((pos[:, None] - pos[None]) ** 2).sum(-1)
-    sim = np.exp(-d2 / 0.01)
-    np.fill_diagonal(sim, 0)
-    adj = top_k(sim, 100, include_self=True, keep_values=True)
-    g = normalize_adj(coalesce(Graph.from_dense(adj)), "row")
+    out = {}
+    g = _build_graph()
     n_edges = g.num_edges
+    out["n_edges_100nn"] = int(n_edges)
 
     # --- encoder precompute (reservoir 16x8 + k=2 + global, sgp_pv.yaml)
-    x_series = jnp.asarray(
-        rng.standard_normal((t_steps, n_nodes, 3)).astype(np.float32))
+    x_series = jax.jit(lambda k: jax.random.normal(
+        k, (T_STEPS, N_NODES, 3)))(jax.random.PRNGKey(10))
     res = Reservoir(input_size=3, hidden_size=16, num_layers=8,
                     leaking_rate=1.0, spectral_radius=0.99, density=0.7,
                     alpha_decay=True)
     op = build_operator(g, "dense", precision="default")
-
     chunk = 64
 
     @jax.jit
@@ -60,7 +104,6 @@ def main():
     @jax.jit
     def spatial_chunk(hc, op):  # op as arg: keep the 100MB operator out
         # of the jaxpr constants (closure capture stalls XLA folding)
-        # [Tc, N, 128] -> [Tc, N, 512] bf16 (k=2 hops + global mean)
         parts = [hc]
         cur = hc
         for _ in range(2):
@@ -73,43 +116,43 @@ def main():
     def encode(x):
         h = reservoir_run(x)
         outs = [spatial_chunk(h[s:s + chunk], op)
-                for s in range(0, t_steps, chunk)]
+                for s in range(0, x.shape[0], chunk)]
         del h
         out = jnp.concatenate(outs, axis=0)
         del outs
         return out
 
     t0 = time.time()
-    encoded = jax.block_until_ready(encode(x_series))  # [T,N,512] bf16
-    encode_compile_s = time.time() - t0
-    encoded = None  # free before re-encode (peak HBM headroom)
+    encoded = encode(x_series)                         # [T,N,512] bf16
+    _sync(encoded)
+    out["encode_first_call_incl_compile_s"] = round(time.time() - t0, 2)
+    encoded = None
     t0 = time.time()
-    encoded = jax.block_until_ready(encode(x_series))
-    encode_s = time.time() - t0  # steady-state (compile excluded)
+    encoded = encode(x_series)
+    _sync(encoded)
+    out["encode_wall_s_T1024_N5016_D512"] = round(time.time() - t0, 2)
 
     # --- SpMM throughput (128-channel pass over the 100-nn graph)
-    xf = jnp.asarray(
-        rng.standard_normal((n_nodes, 128)).astype(np.float32))
+    xf = jax.jit(lambda k: jax.random.normal(
+        k, (N_NODES, 128)))(jax.random.PRNGKey(11))
     spmm_j = jax.jit(lambda x: spmm(op, x))
-    jax.block_until_ready(spmm_j(xf))
+    o = spmm_j(xf)
+    _sync(o)
     t0 = time.time()
     iters = 50
-    for _ in range(iters):
-        out = spmm_j(xf)
-    jax.block_until_ready(out)
-    spmm_edges_s = n_edges * iters / (time.time() - t0)
+    for _ in range(iters):   # chained: out feeds back in, so calls
+        o = spmm_j(o)        # serialize on device; sync fetches a value
+    _sync(o)
+    out["spmm_edges_per_s"] = int(n_edges * iters / (time.time() - t0))
+    del xf, o
 
     # --- fused IID decoder training (sgp_pv.yaml decoder, batch 4096)
-    h_steps = len(range(0, horizon, horizon_lag))       # 4 eval steps
-    target = jnp.asarray(
-        rng.standard_normal((t_steps, n_nodes, 1)).astype(np.float32))
-    mask = jnp.ones((t_steps, n_nodes, 1), bool)
-    valid = jnp.arange(t_steps - (1 + horizon))
-    h_off = 1 + jnp.arange(0, horizon, horizon_lag)
-    model = SGPModel(input_size=int(encoded.shape[-1]), order=32,
-                     n_nodes=n_nodes, hidden_size=960, mlp_size=256,
-                     output_size=1, n_layers=2, horizon=h_steps,
-                     positional_encoding=True, emb_size=32, resnet=True)
+    target = jax.jit(lambda k: jax.random.normal(
+        k, (T_STEPS, N_NODES, 1)))(jax.random.PRNGKey(12))
+    mask = jnp.ones((T_STEPS, N_NODES, 1), bool)
+    valid = jnp.arange(T_STEPS - (1 + HORIZON))
+    h_off = 1 + jnp.arange(0, HORIZON, HORIZON_LAG)
+    model = _decoder(int(encoded.shape[-1]))
     key = jax.random.PRNGKey(0)
     params = model.init({"params": key, "dropout": key},
                         jnp.zeros((8, int(encoded.shape[-1]))),
@@ -123,32 +166,221 @@ def main():
                                      mask, valid, h_off, scaler,
                                      batch_size=4096,
                                      steps_per_call=steps_per_call)
+    t0 = time.time()
     params, opt_state, loss = step(params, opt_state, key)  # compile
-    jax.block_until_ready(loss)
+    _sync(loss)
+    out["train_compile_s"] = round(time.time() - t0, 2)
     for _ in range(5):  # warmup: first post-compile calls run ~2x slow
         key, k2 = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, k2)
-    jax.block_until_ready(loss)
+    _sync(loss)
     t0 = time.time()
     calls = 5
     for i in range(calls):
         key, k2 = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, k2)
-    jax.block_until_ready(loss)
+    _sync(loss)
     batch_s = calls * steps_per_call / (time.time() - t0)
+    out["train_batch_s"] = round(batch_s, 2)
+    out["final_loss"] = float(loss)
 
+    # MFU estimate from XLA's own cost model for the train step
+    try:
+        single = make_fused_iid_step(model, optimizer, encoded, target,
+                                     mask, valid, h_off, scaler,
+                                     batch_size=4096)
+        lowered = single.core.lower(params, opt_state, key, single.data)
+        cost = lowered.compile().cost_analysis()
+        if cost and "flops" in cost:
+            flops_step = float(cost["flops"])
+            out["flops_per_train_step"] = flops_step
+            out["mfu_vs_bf16_peak"] = round(
+                flops_step * batch_s / PEAK_BF16_FLOPS, 4)
+    except Exception as e:  # cost analysis is best-effort
+        out["mfu_error"] = str(e)[:120]
+    return out
+
+
+def section_bsr() -> dict:
+    """BSR win region: N=40,960 banded graph (dense [N, N] f32 would be
+    6.7 GB — over the dense-operator heuristic): Pallas BSR vs COO."""
+    import jax
+    import jax.numpy as jnp
+
+    from sgp_tpu.graph import Graph, coalesce, normalize_adj
+    from sgp_tpu.ops import build_operator
+
+    out = {}
+    n_big, width = 40960, 10
+    idx = np.arange(n_big, dtype=np.int64)
+    srcs = np.concatenate([idx] * (2 * width))
+    dsts = np.concatenate([(idx + d) % n_big for d in
+                           list(range(1, width + 1))
+                           + list(range(-width, 0))])
+    g_big = normalize_adj(coalesce(Graph(
+        srcs, dsts, np.ones(len(srcs), np.float32), n_big)), "row")
+    x_big = jax.jit(lambda k: jax.random.normal(
+        k, (n_big, 128)))(jax.random.PRNGKey(15))
+    for mode in ("bsr", "coo"):
+        try:
+            op_big = build_operator(g_big, mode)
+            f = jax.jit(lambda x, o=op_big: o @ x)
+            o = f(x_big)
+            _sync(o)
+            t0 = time.time()
+            reps = 20
+            for _ in range(reps):   # chained (see spmm loop)
+                o = f(o)
+            _sync(o)
+            out[f"spmm_n40960_{mode}_edges_per_s"] = int(
+                g_big.num_edges * reps / (time.time() - t0))
+        except Exception as e:
+            out[f"spmm_n40960_{mode}_error"] = str(e)[:120]
+    return out
+
+
+def section_truescale(t_scale: int) -> dict:
+    """Beyond-HBM stratified trainer at temporal scale ``t_scale``:
+    reservoir encoding resident in bf16 (the (k+1)x f32 expansion would
+    be ~45 GB at T=8,868 — doesn't fit), on-the-fly gather-SpMM
+    propagation of only the sampled nodes."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from sgp_tpu.data import ScalerParams
+    from sgp_tpu.data.sgp_loader import build_support_operators
+    from sgp_tpu.encode import Reservoir
+    from sgp_tpu.train.iid import make_fused_iid_stratified_step
+
+    out = {}
+    # HBM preflight: the resident embedding + raw input must fit RIGHT
+    # NOW (free HBM varies with how much memory dead tunnel sessions
+    # still strand). A failed plain fill strands far less than a failed
+    # scan program would.
+    probe = jax.jit(lambda: (
+        jnp.full((t_scale, N_NODES, 128), 0, jnp.bfloat16),
+        jnp.full((t_scale, N_NODES, 3), 0, jnp.float32)))()
+    _sync(probe[0])
+    del probe
+
+    g = _build_graph()
+    res = Reservoir(input_size=3, hidden_size=16, num_layers=8,
+                    leaking_rate=1.0, spectral_radius=0.99, density=0.7,
+                    alpha_decay=True)
+    x_true = jax.jit(lambda k: jax.random.normal(
+        k, (t_scale, N_NODES, 3)))(jax.random.PRNGKey(13))
+    t0 = time.time()
+    h_temporal = res(x_true, out_dtype="bfloat16")
+    _sync(h_temporal)                            # [T, 5016, 128] bf16
+    out[f"reservoir_encode_wall_s_T{t_scale}"] = round(time.time() - t0, 2)
+    del x_true
+    ops = build_support_operators(g, k=2)
+    tgt = jax.jit(lambda k: jax.random.normal(
+        k, (t_scale, N_NODES, 1)))(jax.random.PRNGKey(14))
+    msk = jnp.ones((t_scale, N_NODES, 1), bool)
+    spc = 32
+    model = _decoder(512)
+    optimizer = optax.chain(optax.clip_by_global_norm(5.0),
+                            optax.adam(1e-3))
+    scaler = ScalerParams(jnp.zeros(1), jnp.ones(1))
+    h_off = 1 + jnp.arange(0, HORIZON, HORIZON_LAG)
+    strat = make_fused_iid_stratified_step(
+        model, optimizer, h_temporal, tgt, msk,
+        jnp.arange(t_scale - (1 + HORIZON)), h_off, scaler, ops,
+        global_attr=True, times_per_batch=32, nodes_per_time=128,
+        steps_per_call=spc)
+    key = jax.random.PRNGKey(0)
+    p2 = model.init({"params": key, "dropout": key}, jnp.zeros((8, 512)),
+                    node_index=jnp.zeros(8, jnp.int32), iid=True)
+    s2 = optimizer.init(p2)
+    t0 = time.time()
+    p2, s2, l2 = strat(p2, s2, key)
+    _sync(l2)
+    out["stratified_compile_s"] = round(time.time() - t0, 2)
+    for _ in range(8):   # warmup (post-compile calls run slow)
+        key, k2 = jax.random.split(key)
+        p2, s2, l2 = strat(p2, s2, k2)
+    _sync(l2)
+    t0 = time.time()
+    calls2 = 10
+    for _ in range(calls2):
+        key, k2 = jax.random.split(key)
+        p2, s2, l2 = strat(p2, s2, k2)
+    _sync(l2)
+    out[f"stratified_batch_s_T{t_scale}"] = round(
+        calls2 * spc / (time.time() - t0), 2)
+    return out
+
+
+SECTIONS = {
+    "headline": section_headline,
+    "bsr": section_bsr,
+}
+
+
+def _run_child(name: str, timeout: float) -> dict:
+    """Run one section in a fresh process (fresh TPU session — its HBM
+    truly frees on exit). Child prints its extras as JSON on stdout."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--section", name],
+            capture_output=True, text=True, timeout=max(timeout, 60),
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        err = (proc.stderr or "").strip().splitlines()
+        return {f"{name}_error": (err[-1] if err else
+                                  f"rc={proc.returncode}")[:160]}
+    except subprocess.TimeoutExpired:
+        return {f"{name}_error": "timeout"}
+    except Exception as e:
+        return {f"{name}_error": str(e)[:160]}
+
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--section":
+        name = sys.argv[2]
+        if name.startswith("truescale"):
+            result = section_truescale(int(name.split(":")[1]))
+        else:
+            result = SECTIONS[name]()
+        print(json.dumps(result))
+        return
+
+    t_start = time.time()
+
+    def remaining():
+        return BUDGET_S - (time.time() - t_start)
+
+    extras = {}
+    extras.update(_run_child("headline", remaining()))
+    if remaining() > 240:
+        for t_scale in (T_TRUE, 4434):
+            time.sleep(30)   # the previous child's HBM frees on exit
+            #                  with a short server-side lag
+            got = _run_child(f"truescale:{t_scale}", remaining())
+            extras.update(got)
+            if any(k.startswith("stratified_batch_s") for k in got):
+                break
+    else:
+        extras["true_scale_skipped"] = "budget"
+    if remaining() > 30:
+        # min child budget: a BSR pass needs ~2-3 min incl. tunnel init
+        extras.update(_run_child("bsr", max(remaining(), 240)))
+    else:
+        extras["bsr_skipped"] = "budget"
+
+    batch_s = extras.pop("train_batch_s", 0.0)
+    extras["total_bench_wall_s"] = round(time.time() - t_start, 1)
     print(json.dumps({
         "metric": "sgp_iid_decoder_train_throughput_pvus100nn_b4096",
-        "value": round(batch_s, 2),
+        "value": batch_s,
         "unit": "batch/s",
         "vs_baseline": round(batch_s / BASELINE_BATCH_S, 2),
-        "extras": {
-            "encode_wall_s_T1024_N5016_D512": round(encode_s, 2),
-            "encode_first_call_incl_compile_s": round(encode_compile_s, 2),
-            "spmm_edges_per_s": int(spmm_edges_s),
-            "n_edges_100nn": int(n_edges),
-            "final_loss": float(loss),
-        },
+        "extras": extras,
     }))
 
 
