@@ -72,16 +72,20 @@ def _decoder(input_size: int):
 
 def section_headline() -> dict:
     """Encoder precompute + SpMM + fused IID training + MFU (sgp_pv.yaml
-    shapes). Peak cumulative HBM ~11 GB (encode runs twice)."""
+    shapes). Peak HBM ~7 GB: the streaming encode (sgp_tpu.encode.
+    streaming_encode) carries the reservoir state across time chunks, so
+    the [T, N, 128] f32 hidden history never materializes — only the
+    [T, N, 524] bf16 packed output plus one chunk's f32 expansion live
+    at once."""
     import jax
     import jax.numpy as jnp
     import optax
 
     from sgp_tpu.data import ScalerParams
-    from sgp_tpu.encode import Reservoir
+    from sgp_tpu.encode import SGPEncoder, streaming_encode
     from sgp_tpu.ops import build_operator, spmm
     from sgp_tpu.train.iid import (make_fused_iid_multi_step,
-                                   make_fused_iid_step)
+                                   make_fused_iid_step, pack_iid_data)
 
     out = {}
     g = _build_graph()
@@ -89,48 +93,41 @@ def section_headline() -> dict:
     out["n_edges_100nn"] = int(n_edges)
 
     # --- encoder precompute (reservoir 16x8 + k=2 + global, sgp_pv.yaml)
+    # The encode emits the PACKED IID layout directly (feature lanes +
+    # target hi/lo + mask lanes, see train/iid.py::pack_iid_data): the
+    # fused train step then gathers ONE wide row per sample, and the
+    # unpacked [T, N, 512] encoding never occupies HBM.
     x_series = jax.jit(lambda k: jax.random.normal(
         k, (T_STEPS, N_NODES, 3)))(jax.random.PRNGKey(10))
-    res = Reservoir(input_size=3, hidden_size=16, num_layers=8,
-                    leaking_rate=1.0, spectral_radius=0.99, density=0.7,
-                    alpha_decay=True)
-    op = build_operator(g, "dense", precision="default")
-    chunk = 64
+    target = jax.jit(lambda k: jax.random.normal(
+        k, (T_STEPS, N_NODES, 1)))(jax.random.PRNGKey(12))
+    mask = jnp.ones((T_STEPS, N_NODES, 1), bool)
+    h_off = 1 + jnp.arange(0, HORIZON, HORIZON_LAG)
+    enc = SGPEncoder(input_size=3, reservoir_size=16, reservoir_layers=8,
+                     leaking_rate=1.0, spectral_radius=0.99, density=0.7,
+                     alpha_decay=True, receptive_field=2,
+                     global_attr=True, operator_mode="dense")
+    lane_stack = jax.jit(lambda t, m: pack_iid_data(
+        jnp.zeros(t.shape[:2] + (0,), jnp.bfloat16), t, m, h_off))(
+            target, mask)                       # [T, N, 3H] bf16, 123MB
 
-    @jax.jit
-    def reservoir_run(x):
-        return res.__call__(x)                  # [T, N, 128] f32
-
-    @jax.jit
-    def spatial_chunk(hc, op):  # op as arg: keep the 100MB operator out
-        # of the jaxpr constants (closure capture stalls XLA folding)
-        parts = [hc]
-        cur = hc
-        for _ in range(2):
-            cur = spmm(op, cur)
-            parts.append(cur)
-        parts.append(jnp.broadcast_to(
-            hc.mean(-2, keepdims=True), hc.shape))
-        return jnp.concatenate(parts, -1).astype(jnp.bfloat16)
-
-    def encode(x):
-        h = reservoir_run(x)
-        outs = [spatial_chunk(h[s:s + chunk], op)
-                for s in range(0, x.shape[0], chunk)]
-        del h
-        out = jnp.concatenate(outs, axis=0)
-        del outs
-        return out
+    def encode():
+        return streaming_encode(enc, x_series, g, time_chunk=64,
+                                extra_lanes=lane_stack,
+                                precision="default")
 
     t0 = time.time()
-    encoded = encode(x_series)                         # [T,N,512] bf16
-    _sync(encoded)
+    packed = encode()                               # [T,N,524] bf16
+    _sync(packed)
     out["encode_first_call_incl_compile_s"] = round(time.time() - t0, 2)
-    encoded = None
+    packed = None   # free BEFORE re-running: the second call's output
+    #                 buffer then reuses the first's (same-size pool)
     t0 = time.time()
-    encoded = encode(x_series)
-    _sync(encoded)
+    packed = encode()
+    _sync(packed)
     out["encode_wall_s_T1024_N5016_D512"] = round(time.time() - t0, 2)
+
+    op = build_operator(g, "dense", precision="default")
 
     # --- SpMM throughput (128-channel pass over the 100-nn graph)
     xf = jax.jit(lambda k: jax.random.normal(
@@ -146,26 +143,25 @@ def section_headline() -> dict:
     out["spmm_edges_per_s"] = int(n_edges * iters / (time.time() - t0))
     del xf, o
 
-    # --- fused IID decoder training (sgp_pv.yaml decoder, batch 4096)
-    target = jax.jit(lambda k: jax.random.normal(
-        k, (T_STEPS, N_NODES, 1)))(jax.random.PRNGKey(12))
-    mask = jnp.ones((T_STEPS, N_NODES, 1), bool)
+    # --- fused IID decoder training (sgp_pv.yaml decoder, batch 4096,
+    # packed single-row-gather path)
     valid = jnp.arange(T_STEPS - (1 + HORIZON))
-    h_off = 1 + jnp.arange(0, HORIZON, HORIZON_LAG)
-    model = _decoder(int(encoded.shape[-1]))
+    feat = int(packed.shape[-1]) - 3 * len(range(0, HORIZON, HORIZON_LAG))
+    model = _decoder(feat)
     key = jax.random.PRNGKey(0)
     params = model.init({"params": key, "dropout": key},
-                        jnp.zeros((8, int(encoded.shape[-1]))),
+                        jnp.zeros((8, feat)),
                         node_index=jnp.zeros(8, jnp.int32), iid=True)
     optimizer = optax.chain(optax.clip_by_global_norm(5.0),
                             optax.adam(1e-3))
     opt_state = optimizer.init(params)
     scaler = ScalerParams(jnp.zeros(1), jnp.ones(1))
     steps_per_call = 200
-    step = make_fused_iid_multi_step(model, optimizer, encoded, target,
+    step = make_fused_iid_multi_step(model, optimizer, None, target,
                                      mask, valid, h_off, scaler,
                                      batch_size=4096,
-                                     steps_per_call=steps_per_call)
+                                     steps_per_call=steps_per_call,
+                                     packed=packed)
     t0 = time.time()
     params, opt_state, loss = step(params, opt_state, key)  # compile
     _sync(loss)
@@ -186,9 +182,9 @@ def section_headline() -> dict:
 
     # MFU estimate from XLA's own cost model for the train step
     try:
-        single = make_fused_iid_step(model, optimizer, encoded, target,
+        single = make_fused_iid_step(model, optimizer, None, target,
                                      mask, valid, h_off, scaler,
-                                     batch_size=4096)
+                                     batch_size=4096, packed=packed)
         lowered = single.core.lower(params, opt_state, key, single.data)
         cost = lowered.compile().cost_analysis()
         if cost and "flops" in cost:
@@ -260,7 +256,12 @@ def section_truescale(t_scale: int) -> dict:
     # scan program would.
     probe = jax.jit(lambda: (
         jnp.full((t_scale, N_NODES, 128), 0, jnp.bfloat16),
-        jnp.full((t_scale, N_NODES, 3), 0, jnp.float32)))()
+        # the scan also holds the raw input plus a lane-padded copy of
+        # it ([.., 3] pads to [.., 8]); probe that headroom too so a
+        # doomed attempt dies HERE (cheap) and not inside the scan
+        # (which strands ~11 GB server-side)
+        jnp.full((t_scale, N_NODES, 8), 0, jnp.float32),
+        jnp.full((t_scale, N_NODES, 8), 0, jnp.float32)))()
     _sync(probe[0])
     del probe
 
@@ -313,6 +314,26 @@ def section_truescale(t_scale: int) -> dict:
     return out
 
 
+def section_probe(gb: int) -> dict:
+    """Throwaway HBM canary: allocate ``gb`` GB in a fresh process and
+    exit (memory returns to the chip on process exit). Detects HBM
+    stranded server-side by an earlier OOM-killed program (drains over
+    ~10-30 min, see CLAUDE.md) BEFORE the expensive headline child runs.
+    Split into ~4 GB buffers — the pooled allocator handles several
+    mid-size buffers better than one huge contiguous fill."""
+    import jax
+    import jax.numpy as jnp
+    per = 4 * (2 ** 29)            # bf16 elements per 4 GB buffer
+    bufs = []
+    left = gb
+    while left > 0:
+        step_gb = min(4, left)
+        bufs.append(jnp.full((per * step_gb // 4,), 1, jnp.bfloat16))
+        left -= step_gb
+    _sync(bufs[-1])
+    return {"probe_ok_gb": gb}
+
+
 SECTIONS = {
     "headline": section_headline,
     "bsr": section_bsr,
@@ -332,8 +353,14 @@ def _run_child(name: str, timeout: float) -> dict:
             if line.startswith("{"):
                 return json.loads(line)
         err = (proc.stderr or "").strip().splitlines()
-        return {f"{name}_error": (err[-1] if err else
-                                  f"rc={proc.returncode}")[:160]}
+        # pick the actual exception line, not jax's trailing
+        # traceback-filtering notice
+        exc = [l for l in err
+               if ("Error" in l or "Exception" in l or "EXHAUSTED" in l)
+               and "internal frames" not in l]
+        pick = exc[-1] if exc else (err[-1] if err else
+                                    f"rc={proc.returncode}")
+        return {f"{name}_error": pick[:160]}
     except subprocess.TimeoutExpired:
         return {f"{name}_error": "timeout"}
     except Exception as e:
@@ -345,6 +372,8 @@ def main():
         name = sys.argv[2]
         if name.startswith("truescale"):
             result = section_truescale(int(name.split(":")[1]))
+        elif name.startswith("probe"):
+            result = section_probe(int(name.split(":")[1]))
         else:
             result = SECTIONS[name]()
         print(json.dumps(result))
@@ -356,6 +385,18 @@ def main():
         return BUDGET_S - (time.time() - t_start)
 
     extras = {}
+    # HBM canary before the headline: if a previous OOM-killed program
+    # left HBM stranded server-side, wait it out (cheap throwaway
+    # children) instead of losing the headline child to it.
+    for attempt in range(5):
+        got = _run_child("probe:11", 150)
+        if "probe_ok_gb" in got:
+            if attempt:
+                extras["probe_attempts"] = attempt + 1
+            break
+        time.sleep(110)   # stranded HBM drains over ~10-30 min
+    else:
+        extras["probe_failed"] = got.get("probe:11_error", "?")[:80]
     extras.update(_run_child("headline", remaining()))
     if remaining() > 240:
         for t_scale in (T_TRUE, 4434):
@@ -367,11 +408,9 @@ def main():
                 break
     else:
         extras["true_scale_skipped"] = "budget"
-    if remaining() > 30:
-        # min child budget: a BSR pass needs ~2-3 min incl. tunnel init
-        extras.update(_run_child("bsr", max(remaining(), 240)))
-    else:
-        extras["bsr_skipped"] = "budget"
+    # min child budget: a BSR pass needs ~2-3 min incl. tunnel init,
+    # more when the compile service is in a slow window
+    extras.update(_run_child("bsr", max(remaining(), 480)))
 
     batch_s = extras.pop("train_batch_s", 0.0)
     extras["total_bench_wall_s"] = round(time.time() - t_start, 1)

@@ -13,14 +13,17 @@ interface: ``encoder(x [T, N, F], graph) -> [T, N, D]``.
 """
 from __future__ import annotations
 
+import functools
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from sgp_tpu.encode.graph_reservoir import GraphESN
-from sgp_tpu.encode.reservoir import Reservoir
-from sgp_tpu.encode.spatial import sgp_spatial_embedding
+from sgp_tpu.encode.reservoir import Reservoir, reservoir_scan
+from sgp_tpu.encode.spatial import (prepare_propagation_graphs,
+                                    sgp_spatial_embedding)
 from sgp_tpu.graph.sparse import Graph, add_self_loops, normalize_adj
 from sgp_tpu.ops.spmm import build_operator
 
@@ -126,6 +129,83 @@ class SGPEncoder:
         if to_host:
             return np.concatenate(outs, axis=0)
         return jnp.concatenate(outs, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("activation", "k",
+                                              "global_attr", "chunk",
+                                              "out_dtype"))
+def _streaming_encode(layers, ops, x, extra_lanes, *, activation: str,
+                      k: int, global_attr: bool, chunk: int, out_dtype):
+    """One XLA program: reservoir + K-hop propagation + optional lane
+    concat, streamed over time chunks with the reservoir state as the
+    scan carry — the full ``[T, N, L*H]`` f32 hidden history NEVER
+    materializes (peak HBM = output + one chunk's expansion instead of
+    output + full f32 history + chunk list; see CLAUDE.md on the
+    backend's pooled allocator)."""
+    t, n = x.shape[0], x.shape[1]
+    n_ch = -(-t // chunk)
+    t_pad = n_ch * chunk
+    if t_pad != t:   # zero-pad the tail chunk; sliced off at the end
+        pad = ((0, t_pad - t),) + ((0, 0),) * (x.ndim - 1)
+        x = jnp.pad(x, pad)
+        if extra_lanes is not None:
+            extra_lanes = jnp.pad(extra_lanes,
+                                  ((0, t_pad - t), (0, 0), (0, 0)))
+    xc = x.reshape(n_ch, chunk, n, x.shape[-1])
+    lanes_c = None if extra_lanes is None else \
+        extra_lanes.reshape(n_ch, chunk, n, -1)
+    h0 = [jnp.zeros((n, p.w_hh.shape[0]), x.dtype) for p in layers]
+
+    def body(h, inp):
+        xcb, lcb = inp
+        hc, h_new = reservoir_scan(layers, activation, xcb, h,
+                                   with_state=True)
+        parts = [hc]
+        for op in ops:          # fwd (+ bwd if bidirectional), each
+            cur = hc            # propagating the ORIGINAL features
+            for _ in range(k):  # (matches sgp_spatial_embedding order)
+                cur = op @ cur
+                parts.append(cur)
+        if global_attr:
+            parts.append(jnp.broadcast_to(
+                hc.mean(-2, keepdims=True), hc.shape))
+        feat = jnp.concatenate(parts, -1).astype(out_dtype)
+        if lcb is not None:
+            feat = jnp.concatenate([feat, lcb.astype(out_dtype)], -1)
+        return h_new, feat
+
+    _, out = jax.lax.scan(body, h0, (xc, lanes_c))
+    out = out.reshape(t_pad, n, out.shape[-1])
+    return out[:t] if t_pad != t else out
+
+
+def streaming_encode(encoder: "SGPEncoder", x: jnp.ndarray, graph: Graph,
+                     time_chunk: int = 64, out_dtype=jnp.bfloat16,
+                     extra_lanes: Optional[jnp.ndarray] = None,
+                     precision: str = "highest") -> jnp.ndarray:
+    """Memory-lean whole-series SGP encode as ONE fused XLA program.
+
+    Equivalent to ``encoder(x, graph)`` (then a cast to ``out_dtype``)
+    but streams time chunks through reservoir+propagation with the
+    reservoir state carried between chunks, so peak HBM is the bf16
+    output plus a single chunk's (k+1)x f32 expansion. ``extra_lanes
+    [T, N, E]`` are concatenated to each chunk (e.g. the packed IID
+    target/mask lanes from :func:`sgp_tpu.train.iid.pack_iid_data` —
+    the encode then emits the packed training layout directly and the
+    unpacked encoding never exists). Reference capability:
+    ``lib/utils.py:10-47`` whole-series precompute; this is the
+    TPU-native beyond-HBM variant."""
+    sp = encoder.spatial
+    graphs = prepare_propagation_graphs(
+        graph, undirected=sp.undirected, add_loops=sp.add_self_loops,
+        bidirectional=sp.bidirectional)
+    ops = tuple(build_operator(g, sp.operator_mode, precision=precision)
+                for g in graphs)
+    return _streaming_encode(
+        tuple(encoder.reservoir.layers), ops, x, extra_lanes,
+        activation=encoder.reservoir.activation, k=sp.receptive_field,
+        global_attr=sp.global_attr, chunk=int(time_chunk),
+        out_dtype=np.dtype(out_dtype))
 
 
 class GESNEncoder:

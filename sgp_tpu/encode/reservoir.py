@@ -126,14 +126,18 @@ class Reservoir:
 
     def __call__(self, x: jnp.ndarray, h0=None,
                  return_last_state: bool = False,
-                 out_dtype=None) -> jnp.ndarray:
+                 out_dtype=None, with_state: bool = False) -> jnp.ndarray:
         """Run the scan. ``x [T, N, F]`` (or ``[T, B, F]`` — any flat
         batch axis) -> ``[T, N, L*H]``; ``return_last_state`` gives only
         the final step ``[N, L*H]``. ``out_dtype`` (e.g. bf16) casts each
         step's output INSIDE the scan, so the f32 state history is never
-        materialized (halves the output HBM footprint)."""
+        materialized (halves the output HBM footprint). ``with_state``
+        returns ``(out, last_h)`` where ``last_h`` is the per-layer state
+        list — feed it back as ``h0`` to continue the scan chunk by chunk
+        (streaming encode)."""
         return reservoir_scan(tuple(self.layers), self.activation, x, h0,
-                              return_last_state, out_dtype=out_dtype)
+                              return_last_state, out_dtype=out_dtype,
+                              with_state=with_state)
 
     def step(self, h: Sequence[jnp.ndarray], x_t: jnp.ndarray):
         """Single-step update (streaming / incremental encoding)."""
@@ -156,9 +160,10 @@ def _reservoir_step(layers, act, h, x_t):
 
 @functools.partial(jax.jit,
                    static_argnames=("activation", "return_last_state",
-                                    "out_dtype"))
+                                    "out_dtype", "with_state"))
 def reservoir_scan(layers, activation: str, x, h0=None,
-                   return_last_state: bool = False, out_dtype=None):
+                   return_last_state: bool = False, out_dtype=None,
+                   with_state: bool = False):
     act = _ACTIVATIONS[activation]
     batch_shape = x.shape[1:-1]
     x2 = x.reshape(x.shape[0], -1, x.shape[-1])  # [T, B, F]
@@ -176,4 +181,7 @@ def reservoir_scan(layers, activation: str, x, h0=None,
     last_h, out = jax.lax.scan(step, list(h0), x2)
     if return_last_state:
         return jnp.concatenate(last_h, -1).reshape(batch_shape + (-1,))
-    return out.reshape((x.shape[0],) + batch_shape + (out.shape[-1],))
+    out = out.reshape((x.shape[0],) + batch_shape + (out.shape[-1],))
+    if with_state:
+        return out, last_h
+    return out

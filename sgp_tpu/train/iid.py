@@ -18,6 +18,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from sgp_tpu.data.scalers import ScalerParams
@@ -36,6 +37,68 @@ def take_time_rows(arr: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     return rows[:, 0]
 
 
+def _f32_to_bf16_pair(y: jnp.ndarray):
+    """Bit-exact split of f32 into two bf16 lanes (high/low 16 bits)."""
+    v = jax.lax.bitcast_convert_type(y.astype(jnp.float32), jnp.uint32)
+    hi = (v >> 16).astype(jnp.uint16)
+    lo = (v & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+    cast = lambda u: jax.lax.bitcast_convert_type(u, jnp.bfloat16)
+    return cast(hi), cast(lo)
+
+
+def _bf16_pair_to_f32(hi: jnp.ndarray, lo: jnp.ndarray):
+    u16 = lambda b: jax.lax.bitcast_convert_type(b, jnp.uint16)
+    v = (u16(hi).astype(jnp.uint32) << 16) | u16(lo).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(v, jnp.float32)
+
+
+def pack_iid_data(encoded: jnp.ndarray,    # [T, N, D] (any float dtype)
+                  target: jnp.ndarray,     # [T, N, C] f32
+                  mask: jnp.ndarray,       # [T, N, C] bool
+                  horizon_offsets) -> jnp.ndarray:
+    """Pack features + horizon-shifted targets + masks into ONE wide
+    bf16 row per (t, n) so the fused IID step does a single row gather.
+
+    TPU gathers are efficient only for wide (>=128-lane) rows: the
+    per-sample scalar gathers ``target[t+h, n]`` cost ~0.42 ms/step at
+    batch 4096 (vs 0.13 ms for the 512-lane feature row), and narrow
+    row gathers are pathological (~4 ms measured for 4-lane rows).
+    Layout per row: ``[enc(D) | y_hi(H*C) | y_lo(H*C) | mask(H*C)]``
+    with f32 targets split bit-exactly into two bf16 lanes
+    (``uint32 >> 16`` / ``& 0xffff``) — the step reconstructs the exact
+    f32 bits. Rows whose horizon would wrap past T hold rolled garbage;
+    ``valid_starts`` never samples them (same contract as unpacked).
+
+    Returns ``packed [T, N, D + 3*H*C]`` in bf16.
+    """
+    h_np = np.asarray(horizon_offsets).astype(np.int64)
+    t_steps, n_nodes, c = target.shape
+    ys = jnp.stack([jnp.roll(target, -int(h), axis=0) for h in h_np],
+                   axis=2)                       # [T, N, H, C]
+    ms = jnp.stack([jnp.roll(mask, -int(h), axis=0) for h in h_np],
+                   axis=2)
+    hi, lo = _f32_to_bf16_pair(ys)
+    parts = [jnp.asarray(encoded, jnp.bfloat16),
+             hi.reshape(t_steps, n_nodes, -1),
+             lo.reshape(t_steps, n_nodes, -1),
+             ms.reshape(t_steps, n_nodes, -1).astype(jnp.bfloat16)]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def unpack_iid_rows(rows: jnp.ndarray, feat: int, n_horizon: int,
+                    n_channels: int):
+    """Split gathered packed rows ``[B, D+3HC]`` back into
+    ``x [B, D] bf16``, ``y [B, H, C] f32`` (bit-exact), ``m [B, H, C]``."""
+    b = rows.shape[0]
+    hc = n_horizon * n_channels
+    x = rows[:, :feat]
+    hi = rows[:, feat:feat + hc]
+    lo = rows[:, feat + hc:feat + 2 * hc]
+    m = rows[:, feat + 2 * hc:feat + 3 * hc]
+    y = _bf16_pair_to_f32(hi, lo).reshape(b, n_horizon, n_channels)
+    return x, y, (m > 0.5).reshape(b, n_horizon, n_channels)
+
+
 def make_fused_iid_step(model, optimizer,
                         encoded: jnp.ndarray,      # [T, N, D] in HBM
                         target: jnp.ndarray,       # [T, N, C]
@@ -46,7 +109,8 @@ def make_fused_iid_step(model, optimizer,
                         u: Optional[jnp.ndarray] = None,  # [T, F] global
                         batch_size: int = 4096,
                         loss: str = "mae",
-                        scale_target: bool = False) -> Callable:
+                        scale_target: bool = False,
+                        packed: bool = False) -> Callable:
     """Build ``step(params, opt_state, rng) -> (params, opt_state, loss)``
     with everything fused into one jitted program.
 
@@ -54,24 +118,55 @@ def make_fused_iid_step(model, optimizer,
     boundary as explicit *arguments*, never closure captures — a
     closed-over device array becomes a jaxpr constant that XLA tries to
     fold, which stalls compilation for multi-GB encodings.
+
+    ``packed=True`` stores features+targets+masks in one wide bf16 row
+    per (t, n) (:func:`pack_iid_data`) so the whole sample batch is ONE
+    row gather — the separate per-(t+h, n) scalar gathers of
+    target/mask cost ~3x the feature gather on TPU (measured
+    0.42 ms vs 0.13 ms at batch 4096, PV-US scale; packed reaches
+    2153 batch/s vs 1236 unpacked). Targets are bit-exactly
+    reconstructed from two bf16 lanes; features reach the model in bf16
+    (as with bf16 device-resident encodings). Passing an ARRAY as
+    ``packed`` uses it as the prebuilt packed layout (``encoded`` may
+    then be None — useful when the packing is fused into the encode
+    program so the unpacked encoding never occupies HBM).
     """
     loss_pt = _METRIC_FNS[loss]
-    n_nodes = encoded.shape[1]
+    n_h = int(np.asarray(horizon_offsets).shape[0])
+    n_c = target.shape[-1]
     has_u = u is not None
-    data = (encoded, target, mask, valid_starts, horizon_offsets) \
+    if not isinstance(packed, bool):
+        big = jnp.asarray(packed)          # prebuilt packed layout
+        packed = True
+    elif packed:
+        big = pack_iid_data(encoded, target, mask, horizon_offsets)
+    else:
+        big = None
+    n_nodes = (encoded if encoded is not None else big).shape[1]
+    feat = encoded.shape[-1] if encoded is not None \
+        else big.shape[-1] - 3 * n_h * n_c
+    data = ((encoded, target, mask) if not packed else (big,)) \
+        + (jnp.asarray(valid_starts), jnp.asarray(horizon_offsets)) \
         + ((u,) if has_u else ())
 
     def sample_and_loss(params, rng, data):
-        enc, tgt, msk, valid, h_off = data[:5]
+        if packed:
+            pk, valid, h_off = data[:3]
+        else:
+            enc, tgt, msk, valid, h_off = data[:5]
         rng_t, rng_n, rng_d = jax.random.split(rng, 3)
         t = jax.random.choice(rng_t, valid, (batch_size,))
         n = jax.random.randint(rng_n, (batch_size,), 0, n_nodes)
-        x = enc[t, n]                           # [B, D]
-        y = tgt[t[:, None] + h_off[None, :], n[:, None]]
-        m = msk[t[:, None] + h_off[None, :], n[:, None]]
+        if packed:
+            rows = pk.reshape(-1, pk.shape[-1])[t * n_nodes + n]
+            x, y, m = unpack_iid_rows(rows, feat, n_h, n_c)
+        else:
+            x = enc[t, n]                       # [B, D]
+            y = tgt[t[:, None] + h_off[None, :], n[:, None]]
+            m = msk[t[:, None] + h_off[None, :], n[:, None]]
         kwargs = {}
         if has_u:
-            u_arr = data[5]
+            u_arr = data[-1]
             if u_arr.ndim == 3:   # node-level [T, N, F] (e.g. keep_raw)
                 kwargs["u"] = u_arr[t, n]       # [B, F] per-sample node
             else:                 # global [T, F]
@@ -108,7 +203,8 @@ def make_fused_iid_multi_step(model, optimizer, encoded, target, mask,
                               u=None, batch_size: int = 4096,
                               loss: str = "mae",
                               scale_target: bool = False,
-                              steps_per_call: int = 32) -> Callable:
+                              steps_per_call: int = 32,
+                              packed: bool = False) -> Callable:
     """Like :func:`make_fused_iid_step` but runs ``steps_per_call``
     optimizer steps inside ONE jitted program (``lax.scan`` over steps) —
     amortizing host->device dispatch latency, which dominates when the
@@ -118,7 +214,7 @@ def make_fused_iid_multi_step(model, optimizer, encoded, target, mask,
     single = make_fused_iid_step(model, optimizer, encoded, target, mask,
                                  valid_starts, horizon_offsets, scaler,
                                  u=u, batch_size=batch_size, loss=loss,
-                                 scale_target=scale_target)
+                                 scale_target=scale_target, packed=packed)
     core, data = single.core, single.data
 
     @jax.jit

@@ -231,3 +231,48 @@ def test_encode_dataset_wiring(rng, tmp_path):
                    save_path=cache)
     np.testing.assert_allclose(ds2.covariates["encoded_x"].value,
                                ds.covariates["encoded_x"].value)
+
+
+def test_streaming_encode_matches_oneshot(rng):
+    """Fused streaming encode (reservoir state carried across chunks)
+    must equal the one-shot encoder cast to the same dtype, including
+    a non-divisible tail chunk and bidirectional + global_attr."""
+    from sgp_tpu.encode import streaming_encode
+    g = toy_graph(rng)
+    x = jnp.asarray(rng.standard_normal((13, g.num_nodes, 2)),
+                    jnp.float32)
+    enc = SGPEncoder(input_size=2, reservoir_size=8, reservoir_layers=2,
+                     receptive_field=2, bidirectional=True,
+                     global_attr=True)
+    ref = np.asarray(enc(x, g).astype(jnp.float32))
+    out = streaming_encode(enc, x, g, time_chunk=4,
+                           out_dtype=jnp.float32)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+    # bf16 output: same values after casting the oneshot result
+    out_bf = streaming_encode(enc, x, g, time_chunk=4)
+    np.testing.assert_array_equal(
+        np.asarray(out_bf), np.asarray(enc(x, g).astype(jnp.bfloat16)))
+
+
+def test_streaming_encode_packed_lanes(rng):
+    """extra_lanes rides along each chunk: the output must equal
+    pack_iid_data(encoded, target, mask) built from the separate
+    one-shot encode."""
+    from sgp_tpu.encode import streaming_encode
+    from sgp_tpu.train.iid import pack_iid_data
+    g = toy_graph(rng)
+    t, c = 12, 2
+    x = jnp.asarray(rng.standard_normal((t, g.num_nodes, 2)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((t, g.num_nodes, c)),
+                      jnp.float32)
+    msk = jnp.asarray(rng.random((t, g.num_nodes, c)) > 0.4)
+    h_off = np.array([1, 3])
+    enc = SGPEncoder(input_size=2, reservoir_size=4, reservoir_layers=1,
+                     receptive_field=1)
+    lanes = pack_iid_data(jnp.zeros((t, g.num_nodes, 0), jnp.bfloat16),
+                          tgt, msk, h_off)
+    out = streaming_encode(enc, x, g, time_chunk=4, extra_lanes=lanes)
+    expect = pack_iid_data(enc(x, g).astype(jnp.bfloat16), tgt, msk,
+                           h_off)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(expect))

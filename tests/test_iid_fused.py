@@ -288,3 +288,64 @@ def test_stratified_assembly_modes_agree(rng):
     assert abs(l_rows - l_full) < 1e-4, (l_rows, l_full)
     l_bf16 = run("full_prop", jnp.bfloat16)
     assert abs(l_rows - l_bf16) < 5e-2, (l_rows, l_bf16)
+
+
+def test_pack_iid_data_roundtrip_bitexact(rng):
+    """f32 targets split into two bf16 lanes must reconstruct the EXACT
+    bits; masks survive; rows line up with (t, n) indexing."""
+    from sgp_tpu.train.iid import pack_iid_data, unpack_iid_rows
+    t, n, d, c = 30, 7, 8, 2
+    h_off = np.array([1, 4, 9])
+    enc = rng.standard_normal((t, n, d)).astype(np.float32)
+    tgt = (rng.standard_normal((t, n, c)) * 1e3).astype(np.float32)
+    msk = rng.random((t, n, c)) > 0.3
+    packed = pack_iid_data(jnp.asarray(enc, jnp.bfloat16),
+                           jnp.asarray(tgt), jnp.asarray(msk), h_off)
+    assert packed.shape == (t, n, d + 3 * len(h_off) * c)
+    t_idx = np.array([0, 5, 11, 20])
+    n_idx = np.array([3, 0, 6, 2])
+    rows = packed.reshape(t * n, -1)[t_idx * n + n_idx]
+    x, y, m = unpack_iid_rows(rows, d, len(h_off), c)
+    np.testing.assert_array_equal(
+        np.asarray(x), np.asarray(jnp.asarray(enc, jnp.bfloat16))[t_idx,
+                                                                  n_idx])
+    expect_y = np.stack([tgt[t_idx + h, n_idx] for h in h_off], axis=1)
+    np.testing.assert_array_equal(np.asarray(y), expect_y)  # bit-exact
+    expect_m = np.stack([msk[t_idx + h, n_idx] for h in h_off], axis=1)
+    np.testing.assert_array_equal(np.asarray(m), expect_m)
+
+
+def test_fused_iid_packed_matches_unpacked(rng):
+    """packed=True must reproduce the unpacked step's loss bit-for-bit
+    when the encoding is already bf16 (same RNG stream, same gathers)."""
+    import optax
+    t, n, d = 80, 9, 8
+    enc = jnp.asarray(rng.standard_normal((t, n, d)), jnp.bfloat16)
+    tgt = jnp.asarray(rng.standard_normal((t, n, 1)).astype(np.float32))
+    msk = jnp.asarray(rng.random((t, n, 1)) > 0.2)
+    valid = jnp.arange(t - 6)
+    h_off = jnp.asarray([1, 3, 5])
+    model = SGPModel(input_size=d, order=2, n_nodes=n, hidden_size=16,
+                     mlp_size=8, output_size=1, n_layers=1, horizon=3,
+                     positional_encoding=True)
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "dropout": key},
+                        jnp.zeros((4, d)),
+                        node_index=jnp.zeros(4, jnp.int32), iid=True)
+    opt = optax.adam(1e-3)
+    sc = ScalerParams(jnp.zeros(1), jnp.ones(1))
+
+    losses = {}
+    for packed in (False, True):
+        step = make_fused_iid_step(model, opt, enc, tgt, msk, valid,
+                                   h_off, sc, batch_size=32,
+                                   packed=packed)
+        p, s = params, opt.init(params)
+        ls = []
+        k = jax.random.PRNGKey(42)
+        for _ in range(4):
+            k, k2 = jax.random.split(k)
+            p, s, l = step(p, s, k2)
+            ls.append(float(l))
+        losses[packed] = ls
+    np.testing.assert_array_equal(losses[False], losses[True])
