@@ -43,9 +43,12 @@ HORIZON, HORIZON_LAG = 22, 7
 
 def _sync(arr):
     """True host-side sync: fetch one element. block_until_ready alone
-    under-syncs on the remote backend (measured)."""
+    under-syncs on the remote backend (measured). Index with a scalar
+    tuple — NEVER ravel: an eager ``jnp.ravel`` of a multi-GB array
+    dispatches a reshape that allocates a full COPY (this OOMed the
+    headline at the sync of the 5.4 GB packed encoding)."""
     import jax.numpy as jnp
-    return float(jnp.ravel(arr)[0].astype(jnp.float32))
+    return float(arr[(0,) * arr.ndim].astype(jnp.float32))
 
 
 def _build_graph():
@@ -82,7 +85,8 @@ def section_headline() -> dict:
     import optax
 
     from sgp_tpu.data import ScalerParams
-    from sgp_tpu.encode import SGPEncoder, streaming_encode
+    from sgp_tpu.encode import (SGPEncoder, build_streaming_ops,
+                                streaming_encode)
     from sgp_tpu.ops import build_operator, spmm
     from sgp_tpu.train.iid import (make_fused_iid_multi_step,
                                    make_fused_iid_step, pack_iid_data)
@@ -111,10 +115,12 @@ def section_headline() -> dict:
         jnp.zeros(t.shape[:2] + (0,), jnp.bfloat16), t, m, h_off))(
             target, mask)                       # [T, N, 3H] bf16, 123MB
 
+    enc_ops = build_streaming_ops(enc, g, precision="default")
+
     def encode():
         return streaming_encode(enc, x_series, g, time_chunk=64,
                                 extra_lanes=lane_stack,
-                                precision="default")
+                                precision="default", ops=enc_ops)
 
     t0 = time.time()
     packed = encode()                               # [T,N,524] bf16
@@ -220,13 +226,16 @@ def section_bsr() -> dict:
     for mode in ("bsr", "coo"):
         try:
             op_big = build_operator(g_big, mode)
-            f = jax.jit(lambda x, o=op_big: o @ x)
-            o = f(x_big)
+            # operator threaded as a jit ARGUMENT (Operator is a
+            # pytree), never a closure constant (CLAUDE.md: captured
+            # device arrays become jaxpr constants XLA tries to fold)
+            f = jax.jit(lambda o, x: o @ x)
+            o = f(op_big, x_big)
             _sync(o)
             t0 = time.time()
             reps = 20
             for _ in range(reps):   # chained (see spmm loop)
-                o = f(o)
+                o = f(op_big, o)
             _sync(o)
             out[f"spmm_n40960_{mode}_edges_per_s"] = int(
                 g_big.num_edges * reps / (time.time() - t0))

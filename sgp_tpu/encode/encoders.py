@@ -179,10 +179,25 @@ def _streaming_encode(layers, ops, x, extra_lanes, *, activation: str,
     return out[:t] if t_pad != t else out
 
 
+def build_streaming_ops(encoder: "SGPEncoder", graph: Graph,
+                        precision: str = "highest") -> tuple:
+    """Host-side operator prep for :func:`streaming_encode`, exposed so
+    repeat callers build (and upload) the propagation operators ONCE —
+    rebuilding a dense [N, N] operator per call costs ~100 MB of host
+    work plus its device upload (the remote tunnel moves MB/s)."""
+    sp = encoder.spatial
+    graphs = prepare_propagation_graphs(
+        graph, undirected=sp.undirected, add_loops=sp.add_self_loops,
+        bidirectional=sp.bidirectional)
+    return tuple(build_operator(g, sp.operator_mode, precision=precision)
+                 for g in graphs)
+
+
 def streaming_encode(encoder: "SGPEncoder", x: jnp.ndarray, graph: Graph,
                      time_chunk: int = 64, out_dtype=jnp.bfloat16,
                      extra_lanes: Optional[jnp.ndarray] = None,
-                     precision: str = "highest") -> jnp.ndarray:
+                     precision: str = "highest",
+                     ops: Optional[tuple] = None) -> jnp.ndarray:
     """Memory-lean whole-series SGP encode as ONE fused XLA program.
 
     Equivalent to ``encoder(x, graph)`` (then a cast to ``out_dtype``)
@@ -196,11 +211,8 @@ def streaming_encode(encoder: "SGPEncoder", x: jnp.ndarray, graph: Graph,
     ``lib/utils.py:10-47`` whole-series precompute; this is the
     TPU-native beyond-HBM variant."""
     sp = encoder.spatial
-    graphs = prepare_propagation_graphs(
-        graph, undirected=sp.undirected, add_loops=sp.add_self_loops,
-        bidirectional=sp.bidirectional)
-    ops = tuple(build_operator(g, sp.operator_mode, precision=precision)
-                for g in graphs)
+    if ops is None:
+        ops = build_streaming_ops(encoder, graph, precision=precision)
     return _streaming_encode(
         tuple(encoder.reservoir.layers), ops, x, extra_lanes,
         activation=encoder.reservoir.activation, k=sp.receptive_field,

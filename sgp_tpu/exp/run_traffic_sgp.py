@@ -238,8 +238,12 @@ def run_experiment(args):
     fused = (args.fused and args.model_name == "sgp"
              and not args.iid_sampling)
     if fused:
+        dev = _device_arrays(ds)   # upload the full series ONCE: train
+        #                            step and both fused evals share it
+        #                            (host->device is ~MB/s; HBM freed
+        #                            by del never returns in-process)
         _fit_fused(args, ds, split, model, predictor,
-                   support_ops, batches_epoch, infer_bs)
+                   support_ops, batches_epoch, infer_bs, dev)
     else:
         predictor.fit(train_loader, val_loader, epochs=args.epochs,
                       patience=args.patience, scaler=ds.scaler_params(),
@@ -247,7 +251,7 @@ def run_experiment(args):
     predictor.save(f"{args.logdir}/best.msgpack")
     if fused:
         test_eval = _fused_eval_for(ds, model, predictor, split.test,
-                                    support_ops, infer_bs)
+                                    support_ops, infer_bs, dev)
         results = {f"test_{k}": v
                    for k, v in test_eval(predictor.params).items()}
     else:
@@ -256,25 +260,34 @@ def run_experiment(args):
     return results
 
 
-def _fused_eval_for(ds, model, predictor, items, support_ops, batch_size):
+def _device_arrays(ds):
+    """The full-series device arrays shared by the fused train step and
+    both fused evals — built (and uploaded) exactly once per run."""
+    import jax.numpy as jnp
+
+    u_arr = ds.exog_array()
+    return {"x": jnp.asarray(ds.input_array()),
+            "y": jnp.asarray(ds.target), "m": jnp.asarray(ds.mask),
+            "u": None if u_arr is None else jnp.asarray(u_arr)}
+
+
+def _fused_eval_for(ds, model, predictor, items, support_ops, batch_size,
+                    dev):
     """One-dispatch eval over a split (VERDICT round-1 Next-4)."""
     import jax.numpy as jnp
 
     from sgp_tpu.train.fused_window import make_fused_eval
 
-    u_arr = ds.exog_array()
     return make_fused_eval(
-        model, jnp.asarray(ds.input_array()), jnp.asarray(ds.target),
-        jnp.asarray(ds.mask), ds.indices()[items],
+        model, dev["x"], dev["y"], dev["m"], ds.indices()[items],
         jnp.asarray(ds.windowing.window_offsets()),
         jnp.asarray(ds.windowing.horizon_offsets()),
-        ds.scaler_params(), predictor.metrics,
-        u=None if u_arr is None else jnp.asarray(u_arr),
+        ds.scaler_params(), predictor.metrics, u=dev["u"],
         support_ops=support_ops, batch_size=batch_size)
 
 
 def _fit_fused(args, ds, split, model, predictor,
-               support_ops, batches_epoch, infer_bs):
+               support_ops, batches_epoch, infer_bs, dev):
     """Scan-fused windowed training: one device dispatch per epoch
     (``sgp_tpu/train/fused_window.py``) + ONE-dispatch fused val eval;
     early stopping + best-checkpoint per epoch as in Predictor.fit."""
@@ -286,15 +299,12 @@ def _fit_fused(args, ds, split, model, predictor,
 
     from sgp_tpu.train.fused_window import make_fused_window_step
 
-    x_full = jnp.asarray(ds.input_array())
-    u_arr = ds.exog_array()
     step = make_fused_window_step(
-        model, predictor.optimizer, x_full, jnp.asarray(ds.target),
-        jnp.asarray(ds.mask), jnp.asarray(ds.indices()[split.train]),
+        model, predictor.optimizer, dev["x"], dev["y"], dev["m"],
+        jnp.asarray(ds.indices()[split.train]),
         jnp.asarray(ds.windowing.window_offsets()),
         jnp.asarray(ds.windowing.horizon_offsets()),
-        ds.scaler_params(),
-        u=None if u_arr is None else jnp.asarray(u_arr),
+        ds.scaler_params(), u=dev["u"],
         support_ops=support_ops, batch_size=args.batch_size,
         scale_target=args.scale_target,
         steps_per_call=batches_epoch or 300)
@@ -306,7 +316,7 @@ def _fit_fused(args, ds, split, model, predictor,
         first["x"] = apply_support(jnp.asarray(first["x"]), support_ops)
     predictor.init(first, ds.scaler_params())
     val_eval = _fused_eval_for(ds, model, predictor, split.val,
-                               support_ops, infer_bs) \
+                               support_ops, infer_bs, dev) \
         if len(split.val) else None
     key = jax.random.PRNGKey(args.seed)
     best, best_params, bad = np.inf, predictor.params, 0

@@ -161,9 +161,20 @@ class GraphWaveNetModel(nn.Module):
                         norm=self.norm, dropout=self.dropout,
                         training=training)
         # dilations cycle with period dilation_mod -> partition into
-        # identical blocks (of 1 layer if the period doesn't divide)
-        bs = self.dilation_mod if self.n_layers % self.dilation_mod == 0 \
-            else 1
+        # identical blocks. If the period does not divide n_layers the
+        # blocks are NOT identical (dilation is a static conv config),
+        # so scanning is impossible: run a per-layer loop with each
+        # layer's true dilation instead.
+        if self.n_layers % self.dilation_mod != 0:
+            for i in range(self.n_layers):
+                (x, out), _ = _GWNetBlock(dilations=(dilations[i],),
+                                          **block_kw)(
+                    (x, out), masks[i:i + 1], tuple(supports), adj_z)
+            out = nn.relu(out)
+            return MLPDecoder(2 * self.ff_size, self.output_size,
+                              horizon=self.horizon, activation="relu"
+                              )(out, training=training)
+        bs = self.dilation_mod
         n_blocks = self.n_layers // bs
         block_dils = tuple(dilations[:bs])
         block_masks = masks.reshape(n_blocks, bs, -1)

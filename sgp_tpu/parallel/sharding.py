@@ -88,7 +88,8 @@ def make_sharded_iid_step(model, optimizer, encoded, target, mask,
                           loss: str = "mae",
                           scale_target: bool = False,
                           axis: str = "data",
-                          steps_per_call: int = 1):
+                          steps_per_call: int = 1,
+                          packed: bool = False):
     """Data-parallel fused IID training with **node-sharded memory**.
 
     The big HBM-resident arrays (encoded ``[T, N, D]``, target, mask,
@@ -110,6 +111,7 @@ def make_sharded_iid_step(model, optimizer, encoded, target, mask,
     from jax import shard_map
 
     from sgp_tpu.parallel.halo import shard_nodes
+    from sgp_tpu.train.iid import pack_iid_data, unpack_iid_rows
     from sgp_tpu.train.metrics import _METRIC_FNS, _masked_reduce
 
     n_shards = mesh.shape[axis]
@@ -120,6 +122,15 @@ def make_sharded_iid_step(model, optimizer, encoded, target, mask,
     n_local = -(-n_nodes // n_shards)
     has_u = u is not None
     u_node = has_u and u.ndim == 3
+    if packed and encoded.dtype not in (jnp.bfloat16, jnp.float16):
+        import logging
+        logging.getLogger("sgp_tpu").info(
+            "sharded packed=True ignored: encoding is %s (packing would "
+            "truncate to bf16)", encoded.dtype)
+        packed = False
+    feat = encoded.shape[-1]
+    n_h = int(jnp.asarray(horizon_offsets).shape[0])
+    n_c = target.shape[-1]
 
     encoded = shard_nodes(encoded, mesh, axis, node_axis=1)
     target = shard_nodes(target, mesh, axis, node_axis=1)
@@ -128,15 +139,30 @@ def make_sharded_iid_step(model, optimizer, encoded, target, mask,
         u = shard_nodes(u, mesh, axis, node_axis=1)
     elif has_u:
         u = jax.device_put(u, NamedSharding(mesh, P()))
-    data = (encoded, target, mask, jnp.asarray(valid_starts),
-            jnp.asarray(horizon_offsets)) + ((u,) if has_u else ())
     node_spec = P(None, axis, None)
     repl = P()
-    data_specs = (node_spec, node_spec, node_spec, repl, repl) \
-        + (((node_spec if u_node else repl),) if has_u else ())
+    if packed:
+        # single-chip fast path's wide-row layout (ONE row gather per
+        # sample, sgp_tpu.train.iid.pack_iid_data). The pack's rolls
+        # act on the replicated time axis and the lane concat on the
+        # channel axis, so the packed array inherits the node sharding
+        # — still 1/n per device, targets bit-exact via bf16 hi/lo.
+        big = pack_iid_data(encoded, target, mask, horizon_offsets)
+        data = (big, jnp.asarray(valid_starts),
+                jnp.asarray(horizon_offsets)) + ((u,) if has_u else ())
+        data_specs = (node_spec, repl, repl) \
+            + (((node_spec if u_node else repl),) if has_u else ())
+    else:
+        data = (encoded, target, mask, jnp.asarray(valid_starts),
+                jnp.asarray(horizon_offsets)) + ((u,) if has_u else ())
+        data_specs = (node_spec, node_spec, node_spec, repl, repl) \
+            + (((node_spec if u_node else repl),) if has_u else ())
 
     def local_loss(params, rng, data):
-        enc, tgt, msk, valid, h_off = data[:5]
+        if packed:
+            pk, valid, h_off = data[:3]
+        else:
+            enc, tgt, msk, valid, h_off = data[:5]
         # decorrelated per-device streams over disjoint node shards
         shard_id = jax.lax.axis_index(axis)
         rng = jax.random.fold_in(rng, shard_id)
@@ -144,12 +170,16 @@ def make_sharded_iid_step(model, optimizer, encoded, target, mask,
         t = jax.random.choice(rng_t, valid, (local_bs,))
         n_loc = jax.random.randint(rng_n, (local_bs,), 0, n_local)
         n_glob = shard_id * n_local + n_loc
-        x = enc[t, n_loc]
-        y = tgt[t[:, None] + h_off[None, :], n_loc[:, None]]
-        m = msk[t[:, None] + h_off[None, :], n_loc[:, None]]
+        if packed:
+            rows = pk.reshape(-1, pk.shape[-1])[t * n_local + n_loc]
+            x, y, m = unpack_iid_rows(rows, feat, n_h, n_c)
+        else:
+            x = enc[t, n_loc]
+            y = tgt[t[:, None] + h_off[None, :], n_loc[:, None]]
+            m = msk[t[:, None] + h_off[None, :], n_loc[:, None]]
         kwargs = {}
         if has_u:
-            u_arr = data[5]
+            u_arr = data[-1]
             kwargs["u"] = (u_arr[t, n_loc] if u_node else u_arr[t])
         sc = scaler.index_nodes_iid(n_glob)
         y_hat = model.apply(params, x, node_index=n_glob, training=True,

@@ -138,6 +138,17 @@ def make_fused_iid_step(model, optimizer,
     if not isinstance(packed, bool):
         big = jnp.asarray(packed)          # prebuilt packed layout
         packed = True
+    elif packed and encoded is not None \
+            and encoded.dtype not in (jnp.bfloat16, jnp.float16):
+        # the packed row is bf16: packing a float32 encoding would
+        # silently truncate features the caller explicitly stored at
+        # full precision — keep the unpacked (f32-exact) gather path
+        import logging
+        logging.getLogger("sgp_tpu").info(
+            "packed=True ignored: encoding is %s (packing would "
+            "truncate to bf16); using the unpacked gather path",
+            encoded.dtype)
+        packed, big = False, None
     elif packed:
         big = pack_iid_data(encoded, target, mask, horizon_offsets)
     else:

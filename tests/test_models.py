@@ -166,6 +166,37 @@ def test_gwnet_scan_matches_unrolled(rng):
                                atol=1e-5)
 
 
+def test_gwnet_nondivisible_dilation_cycle(rng):
+    """n_layers % dilation_mod != 0 must still apply the cycling
+    dilations 2**(i % mod) per layer (regression: the block fallback
+    once ran every layer at dilations[0]). With dilations [1, 2, 1] and
+    kernel 2 the receptive field is 5, so a perturbation at t=0 of a
+    length-5 buffer must reach the readout (it cannot at d=1 uniform,
+    where the field is only 4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sgp_tpu.graph import Graph, coalesce, normalize_adj
+    from sgp_tpu.models.gwnet import GraphWaveNetModel
+    from sgp_tpu.ops import build_operator
+
+    n = 6
+    g = normalize_adj(coalesce(Graph(
+        rng.integers(0, n, 20), rng.integers(0, n, 20),
+        rng.random(20).astype(np.float32), n)), "row")
+    ops = [build_operator(g, "dense")]
+    m = GraphWaveNetModel(hidden_size=8, ff_size=8, output_size=1,
+                          horizon=2, n_layers=3, n_nodes=n,
+                          dilation=2, dilation_mod=2, norm="layer")
+    x = jnp.asarray(rng.standard_normal((1, 5, n, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    p = m.init({"params": key, "dropout": key}, x, ops)
+    y0 = m.apply(p, x, ops)
+    y1 = m.apply(p, x.at[:, 0].add(10.0), ops)
+    assert not np.allclose(np.asarray(y0), np.asarray(y1)), \
+        "t=0 perturbation lost: cycling dilation not applied"
+
+
 def test_gwnet_constant_buffer_masked_norm_lemmas(rng):
     """The two lemmas behind loop==shrinking equivalence: (a) causal
     left-pad conv tail == VALID conv; (b) Norm('batch') with time_mask

@@ -225,3 +225,51 @@ def test_sharded_iid_padded_nodes_are_masked(rng):
     with mesh:
         _, _, loss = step(params, opt.init(params), key)
     assert np.isfinite(float(loss))
+
+
+def test_sharded_iid_packed_matches_unpacked(rng):
+    """packed=True (single wide-row gather, pack after shard) gives the
+    same loss/params as the unpacked sharded step: same RNG -> same
+    samples, bf16 features identical, targets bit-exact via hi/lo."""
+    import optax
+
+    from sgp_tpu.parallel.sharding import make_sharded_iid_step
+
+    mesh = make_mesh(8, 1)
+    t = 100
+    encoded, target, mask, model, params, opt, scaler = _iid_setup(rng)
+    encoded = encoded.astype(jnp.bfloat16)   # packed requires bf16
+    valid, h_off = jnp.arange(t - 3), 1 + jnp.arange(2)
+    key = jax.random.PRNGKey(3)
+    outs = {}
+    for packed in (False, True):
+        step = make_sharded_iid_step(
+            model, opt, encoded, target, mask, valid, h_off, scaler,
+            mesh, batch_size=64, steps_per_call=3, packed=packed)
+        with mesh:
+            p2, _, loss = step(params, opt.init(params), key)
+        outs[packed] = (p2, float(loss))
+    assert abs(outs[True][1] - outs[False][1]) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(outs[True][0]),
+                    jax.tree_util.tree_leaves(outs[False][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
+
+
+def test_sharded_iid_packed_is_node_sharded(rng):
+    """The packed wide-row array is still 1/n per device (pack after
+    shard preserves the node sharding)."""
+    from sgp_tpu.parallel.sharding import make_sharded_iid_step
+
+    mesh = make_mesh(8, 1)
+    t = 100
+    encoded, target, mask, model, params, opt, scaler = _iid_setup(rng)
+    encoded = encoded.astype(jnp.bfloat16)
+    step = make_sharded_iid_step(
+        model, opt, encoded, target, mask, jnp.arange(t - 3),
+        1 + jnp.arange(2), scaler, mesh, batch_size=64, packed=True)
+    big = step.data[0]
+    assert big.shape[-1] == encoded.shape[-1] + 3 * 2 * 1  # D + 3HC
+    shards = big.addressable_shards
+    assert len(shards) == 8
+    assert shards[0].data.nbytes * 8 == big.nbytes
