@@ -83,8 +83,21 @@ class Predictor:
         batch = _to_device(batch)
         self.rng, init_rng, drop_rng = jax.random.split(self.rng, 3)
         args, kwargs = self.batch_to_call(batch, training=False)
-        self.params = self.model.init(
-            {"params": init_rng, "dropout": drop_rng}, *args, **kwargs)
+        # jit the init into ONE program: an eager flax init dispatches
+        # every op of the forward pass individually — through the
+        # remote-TPU tunnel that is hundreds of ~5 ms round-trips plus
+        # one tiny compile-service call PER UNIQUE OP (minutes for a
+        # deep stack like GWNet); jitted it is a single compile.
+        static_kw = {k: v for k, v in kwargs.items()
+                     if isinstance(v, (bool, int, float, str, type(None)))}
+        dyn_kw = {k: v for k, v in kwargs.items() if k not in static_kw}
+
+        @jax.jit
+        def _init(rngs, args, dyn_kw):
+            return self.model.init(rngs, *args, **dyn_kw, **static_kw)
+
+        self.params = _init({"params": init_rng, "dropout": drop_rng},
+                            args, dyn_kw)
         self.opt_state = self.optimizer.init(self.params)
         n_params = sum(int(np.prod(p.shape))
                        for p in jax.tree_util.tree_leaves(self.params))
