@@ -276,3 +276,18 @@ def test_streaming_encode_packed_lanes(rng):
     expect = pack_iid_data(enc(x, g).astype(jnp.bfloat16), tgt, msk,
                            h_off)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(expect))
+
+
+def test_streaming_encode_prebuilt_ops(rng):
+    """ops= (build_streaming_ops) must give the same output as the
+    per-call build — repeat callers prebuild once to avoid re-uploading
+    the dense operator through the device link every call."""
+    from sgp_tpu.encode import build_streaming_ops, streaming_encode
+    g = toy_graph(rng)
+    x = jnp.asarray(rng.standard_normal((9, g.num_nodes, 2)), jnp.float32)
+    enc = SGPEncoder(input_size=2, reservoir_size=4, reservoir_layers=1,
+                     receptive_field=2, global_attr=True)
+    ops = build_streaming_ops(enc, g)
+    out = streaming_encode(enc, x, g, time_chunk=4, ops=ops)
+    ref = streaming_encode(enc, x, g, time_chunk=4)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
