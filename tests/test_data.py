@@ -24,14 +24,14 @@ def test_standard_scaler_masked(rng):
     mask = rng.random(x.shape) > 0.3
     x_corrupt = np.where(mask, x, 1e6)  # huge values where invalid
     s = StandardScaler(axis=(0, 1)).fit(x_corrupt, mask=mask)
-    assert abs(float(s.bias) - x[mask].mean()) < 1e-2
-    assert float(s.scale) < 10  # corrupt values excluded
+    assert abs(np.asarray(s.bias).item() - x[mask].mean()) < 1e-2
+    assert np.asarray(s.scale).item() < 10  # corrupt values excluded
 
 
 def test_robust_scaler(rng):
     x = rng.standard_normal((1000, 1, 1)).astype(np.float32)
     s = RobustScaler(axis=(0, 1), quantile_range=(10, 90)).fit(x)
-    assert abs(float(s.bias) - np.median(x)) < 1e-2
+    assert abs(np.asarray(s.bias).item() - np.median(x)) < 1e-2
 
 
 def test_scaler_params_pytree(rng):
