@@ -213,6 +213,18 @@ def streaming_encode(encoder: "SGPEncoder", x: jnp.ndarray, graph: Graph,
     sp = encoder.spatial
     if ops is None:
         ops = build_streaming_ops(encoder, graph, precision=precision)
+    else:
+        for op in ops:   # catch prebuilds that disagree with the call
+            if op.num_nodes != graph.num_nodes:
+                raise ValueError(
+                    f"prebuilt operator is for {op.num_nodes} nodes, "
+                    f"graph has {graph.num_nodes}")
+            op_prec = getattr(op, "precision", None)
+            if op_prec is not None and op_prec != precision:
+                raise ValueError(
+                    f"prebuilt operator precision {op_prec!r} != "
+                    f"requested {precision!r}; rebuild with "
+                    f"build_streaming_ops(..., precision={precision!r})")
     return _streaming_encode(
         tuple(encoder.reservoir.layers), ops, x, extra_lanes,
         activation=encoder.reservoir.activation, k=sp.receptive_field,

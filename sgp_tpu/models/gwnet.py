@@ -170,28 +170,25 @@ class GraphWaveNetModel(nn.Module):
                 (x, out), _ = _GWNetBlock(dilations=(dilations[i],),
                                           **block_kw)(
                     (x, out), masks[i:i + 1], tuple(supports), adj_z)
-            out = nn.relu(out)
-            return MLPDecoder(2 * self.ff_size, self.output_size,
-                              horizon=self.horizon, activation="relu"
-                              )(out, training=training)
-        bs = self.dilation_mod
-        n_blocks = self.n_layers // bs
-        block_dils = tuple(dilations[:bs])
-        block_masks = masks.reshape(n_blocks, bs, -1)
-        if self.scan_layers and n_blocks > 1:
-            scanned = nn.scan(
-                nn.remat(_GWNetBlock), length=n_blocks,
-                variable_axes={"params": 0},
-                split_rngs={"params": True, "dropout": True},
-                in_axes=(0, nn.broadcast, nn.broadcast))(
-                    dilations=block_dils, **block_kw)
-            (x, out), _ = scanned((x, out), block_masks,
-                                  tuple(supports), adj_z)
         else:
-            for i in range(n_blocks):
-                (x, out), _ = _GWNetBlock(dilations=block_dils,
-                                          **block_kw)(
-                    (x, out), block_masks[i], tuple(supports), adj_z)
+            bs = self.dilation_mod
+            n_blocks = self.n_layers // bs
+            block_dils = tuple(dilations[:bs])
+            block_masks = masks.reshape(n_blocks, bs, -1)
+            if self.scan_layers and n_blocks > 1:
+                scanned = nn.scan(
+                    nn.remat(_GWNetBlock), length=n_blocks,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True, "dropout": True},
+                    in_axes=(0, nn.broadcast, nn.broadcast))(
+                        dilations=block_dils, **block_kw)
+                (x, out), _ = scanned((x, out), block_masks,
+                                      tuple(supports), adj_z)
+            else:
+                for i in range(n_blocks):
+                    (x, out), _ = _GWNetBlock(dilations=block_dils,
+                                              **block_kw)(
+                        (x, out), block_masks[i], tuple(supports), adj_z)
 
         out = nn.relu(out)
         return MLPDecoder(2 * self.ff_size, self.output_size,

@@ -111,7 +111,8 @@ def make_sharded_iid_step(model, optimizer, encoded, target, mask,
     from jax import shard_map
 
     from sgp_tpu.parallel.halo import shard_nodes
-    from sgp_tpu.train.iid import pack_iid_data, unpack_iid_rows
+    from sgp_tpu.train.iid import (_packed_dtype_ok, pack_iid_data,
+                                   unpack_iid_rows)
     from sgp_tpu.train.metrics import _METRIC_FNS, _masked_reduce
 
     n_shards = mesh.shape[axis]
@@ -122,12 +123,7 @@ def make_sharded_iid_step(model, optimizer, encoded, target, mask,
     n_local = -(-n_nodes // n_shards)
     has_u = u is not None
     u_node = has_u and u.ndim == 3
-    if packed and encoded.dtype not in (jnp.bfloat16, jnp.float16):
-        import logging
-        logging.getLogger("sgp_tpu").info(
-            "sharded packed=True ignored: encoding is %s (packing would "
-            "truncate to bf16)", encoded.dtype)
-        packed = False
+    packed = packed and _packed_dtype_ok(encoded)
     feat = encoded.shape[-1]
     n_h = int(jnp.asarray(horizon_offsets).shape[0])
     n_c = target.shape[-1]
@@ -148,9 +144,9 @@ def make_sharded_iid_step(model, optimizer, encoded, target, mask,
         # channel axis, so the packed array inherits the node sharding
         # — still 1/n per device, targets bit-exact via bf16 hi/lo.
         big = pack_iid_data(encoded, target, mask, horizon_offsets)
-        data = (big, jnp.asarray(valid_starts),
-                jnp.asarray(horizon_offsets)) + ((u,) if has_u else ())
-        data_specs = (node_spec, repl, repl) \
+        # packed rows already carry the horizon-shifted targets/masks
+        data = (big, jnp.asarray(valid_starts)) + ((u,) if has_u else ())
+        data_specs = (node_spec, repl) \
             + (((node_spec if u_node else repl),) if has_u else ())
     else:
         data = (encoded, target, mask, jnp.asarray(valid_starts),
@@ -160,7 +156,7 @@ def make_sharded_iid_step(model, optimizer, encoded, target, mask,
 
     def local_loss(params, rng, data):
         if packed:
-            pk, valid, h_off = data[:3]
+            pk, valid = data[:2]
         else:
             enc, tgt, msk, valid, h_off = data[:5]
         # decorrelated per-device streams over disjoint node shards

@@ -99,6 +99,22 @@ def unpack_iid_rows(rows: jnp.ndarray, feat: int, n_horizon: int,
     return x, y, (m > 0.5).reshape(b, n_horizon, n_channels)
 
 
+def _packed_dtype_ok(encoded) -> bool:
+    """The packed row stores features as bf16 lanes, so ONLY bf16
+    encodings may be packed — any other float dtype (f32, f16) would be
+    silently truncated/rounded to bf16, diverging from the unpacked
+    path the caller asked for by choosing that dtype. Shared by the
+    single-chip and node-sharded steps so the policy cannot drift."""
+    if encoded is None or encoded.dtype == jnp.bfloat16:
+        return True
+    import logging
+    logging.getLogger("sgp_tpu").info(
+        "packed=True ignored: encoding is %s (packing would change its "
+        "precision to bf16); using the unpacked gather path",
+        encoded.dtype)
+    return False
+
+
 def make_fused_iid_step(model, optimizer,
                         encoded: jnp.ndarray,      # [T, N, D] in HBM
                         target: jnp.ndarray,       # [T, N, C]
@@ -138,16 +154,7 @@ def make_fused_iid_step(model, optimizer,
     if not isinstance(packed, bool):
         big = jnp.asarray(packed)          # prebuilt packed layout
         packed = True
-    elif packed and encoded is not None \
-            and encoded.dtype not in (jnp.bfloat16, jnp.float16):
-        # the packed row is bf16: packing a float32 encoding would
-        # silently truncate features the caller explicitly stored at
-        # full precision — keep the unpacked (f32-exact) gather path
-        import logging
-        logging.getLogger("sgp_tpu").info(
-            "packed=True ignored: encoding is %s (packing would "
-            "truncate to bf16); using the unpacked gather path",
-            encoded.dtype)
+    elif packed and not _packed_dtype_ok(encoded):
         packed, big = False, None
     elif packed:
         big = pack_iid_data(encoded, target, mask, horizon_offsets)
@@ -156,13 +163,16 @@ def make_fused_iid_step(model, optimizer,
     n_nodes = (encoded if encoded is not None else big).shape[1]
     feat = encoded.shape[-1] if encoded is not None \
         else big.shape[-1] - 3 * n_h * n_c
-    data = ((encoded, target, mask) if not packed else (big,)) \
-        + (jnp.asarray(valid_starts), jnp.asarray(horizon_offsets)) \
+    # packed rows already carry the horizon-shifted targets/masks, so
+    # the packed tuple needs no horizon_offsets array
+    data = ((big, jnp.asarray(valid_starts)) if packed else
+            (encoded, target, mask, jnp.asarray(valid_starts),
+             jnp.asarray(horizon_offsets))) \
         + ((u,) if has_u else ())
 
     def sample_and_loss(params, rng, data):
         if packed:
-            pk, valid, h_off = data[:3]
+            pk, valid = data[:2]
         else:
             enc, tgt, msk, valid, h_off = data[:5]
         rng_t, rng_n, rng_d = jax.random.split(rng, 3)

@@ -89,7 +89,8 @@ class Predictor:
         # one tiny compile-service call PER UNIQUE OP (minutes for a
         # deep stack like GWNet); jitted it is a single compile.
         static_kw = {k: v for k, v in kwargs.items()
-                     if isinstance(v, (bool, int, float, str, type(None)))}
+                     if isinstance(v, (bool, int, float, str, type(None),
+                                       np.generic))}
         dyn_kw = {k: v for k, v in kwargs.items() if k not in static_kw}
 
         @jax.jit
