@@ -349,3 +349,36 @@ def test_fused_iid_packed_matches_unpacked(rng):
             ls.append(float(l))
         losses[packed] = ls
     np.testing.assert_array_equal(losses[False], losses[True])
+
+
+def test_fused_iid_packed_falls_back_for_non_bf16(rng):
+    """packed=True with an f32 or f16 encoding must silently fall back
+    to the unpacked gather path (packing would change the precision the
+    caller chose) — the step must still run and keep full-precision
+    features."""
+    import optax
+
+    from sgp_tpu.data import ScalerParams
+    from sgp_tpu.models import SGPModel
+    from sgp_tpu.train.iid import make_fused_iid_step
+
+    t, n, d = 40, 6, 8
+    model = SGPModel(input_size=d, order=2, n_nodes=n, hidden_size=8,
+                     mlp_size=8, output_size=1, n_layers=1, horizon=2)
+    tgt = jnp.asarray(rng.standard_normal((t, n, 1)).astype(np.float32))
+    msk = jnp.ones((t, n, 1), bool)
+    opt = optax.adam(1e-3)
+    key = jax.random.PRNGKey(0)
+    sc = ScalerParams(jnp.zeros(1), jnp.ones(1))
+    for dtype in (jnp.float32, jnp.float16):
+        enc = jnp.asarray(rng.standard_normal((t, n, d)), dtype)
+        step = make_fused_iid_step(model, opt, enc, tgt, msk,
+                                   jnp.arange(t - 3), 1 + jnp.arange(2),
+                                   sc, batch_size=16, packed=True)
+        # fall back => data tuple is the 5-element unpacked layout
+        assert len(step.data) == 5, dtype
+        params = model.init({"params": key, "dropout": key},
+                            jnp.zeros((4, d)),
+                            node_index=jnp.zeros(4, jnp.int32), iid=True)
+        p2, s2, loss = step(params, opt.init(params), key)
+        assert np.isfinite(float(loss))
