@@ -71,22 +71,27 @@ def build_halo_spec(g: Graph, n_shards: int, dtype=jnp.float32) -> HaloSpec:
     contiguous blocks of the given node order."""
     n = g.num_nodes
     nl = -(-n // n_shards)          # ceil
-    n_pad = nl * n_shards
-    a = np.zeros((n_pad, n_pad), np.float32)
-    a[:n, :n] = g.to_dense()
-
     s = n_shards
+    # CSR block slicing, never the full dense [N_pad, N_pad] (O(N^2)
+    # host memory would cap the graph size this plan can be built for;
+    # CSR keeps host peak at O(E + S * Nl^2) — the dense per-shard
+    # blocks the device design needs anyway)
+    csr = g.to_scipy().tocsr()
+
     a_local = np.zeros((s, nl, nl), np.float32)
     need = [[None] * s for _ in range(s)]
     counts = np.zeros((s, s), np.int64)
+    row_blocks = []
     for i in range(s):
-        rows = a[i * nl:(i + 1) * nl]
-        a_local[i] = rows[:, i * nl:(i + 1) * nl]
+        rows = csr[i * nl:min((i + 1) * nl, n)].tocsc()
+        row_blocks.append(rows)
+        loc = rows[:, i * nl:min((i + 1) * nl, n)].toarray()
+        a_local[i, :loc.shape[0], :loc.shape[1]] = loc
         for j in range(s):
             if j == i:
                 continue
-            block = rows[:, j * nl:(j + 1) * nl]
-            nz = np.nonzero(block.any(axis=0))[0]
+            block = rows[:, j * nl:min((j + 1) * nl, n)]
+            nz = np.unique(block.tocoo().col)
             need[i][j] = nz
             counts[i, j] = len(nz)
     b_max = max(1, int(counts.max()))
@@ -94,13 +99,15 @@ def build_halo_spec(g: Graph, n_shards: int, dtype=jnp.float32) -> HaloSpec:
     a_halo = np.zeros((s, nl, s * b_max), np.float32)
     send_idx = np.zeros((s, s, b_max), np.int32)
     for i in range(s):
-        rows = a[i * nl:(i + 1) * nl]
+        rows = row_blocks[i]
         for j in range(s):
             if j == i:
                 continue
             nz = need[i][j]
-            a_halo[i, :, j * b_max:j * b_max + len(nz)] = \
-                rows[:, j * nl + nz]
+            if len(nz):
+                sub = rows[:, j * nl + nz].toarray()
+                a_halo[i, :sub.shape[0],
+                       j * b_max:j * b_max + len(nz)] = sub
             # device j must SEND these rows to device i
             send_idx[j, i, :len(nz)] = nz
     return HaloSpec(jnp.asarray(a_local, dtype), jnp.asarray(a_halo, dtype),
