@@ -63,21 +63,70 @@ def run_experiment(args):
     enc_kwargs = filter_kwargs(encoder_cls.__init__, {
         **vars(args), "input_size": input_size, "seed": args.seed})
     encoder = encoder_cls(**enc_kwargs)
-    encode_dataset(ds, encoder,
-                   encode_exogenous=args.preprocess_exogenous,
-                   keep_raw=args.keep_raw, device_resident=True,
-                   store_dtype=args.encode_dtype or "bfloat16",
-                   time_chunk=args.encode_time_chunk or 128)
+
+    # Streaming-packed fast path: the encoder emits the packed IID
+    # training layout ([enc | y_hi | y_lo | mask] bf16 rows) directly
+    # from ONE fused XLA program, so the unpacked encoding never
+    # occupies HBM and the fused step gathers one wide row per sample.
+    # Falls back to encode_dataset for non-SGP encoders or explicit
+    # non-bf16 storage (packing would change the precision).
+    streaming_packed = (
+        getattr(args, "packed_gather", True)
+        and args.encoder_name == "sgp"
+        and (args.encode_dtype or "bfloat16") == "bfloat16")
+    if streaming_packed:
+        from sgp_tpu.encode import streaming_encode
+        from sgp_tpu.train.iid import pack_iid_data
+        prev_keys = list(ds.input_keys)
+        keys = ["target_scaled"]
+        if args.preprocess_exogenous:
+            keys += [k for k in ds.exog_keys if k in ds.covariates]
+        ds.set_input_keys(keys)
+        x_series = jnp.asarray(ds.input_array())
+        ds.set_input_keys(prev_keys)
+        tgt = jnp.asarray(ds.target, jnp.float32)
+        mask = jnp.asarray(ds.mask)
+        h_off = jnp.asarray(ds.windowing.horizon_offsets())
+        lanes = jax.jit(lambda t, m: pack_iid_data(
+            jnp.zeros(t.shape[:2] + (0,), jnp.bfloat16), t, m, h_off))(
+                tgt, mask)
+        t_enc = time.time()
+        packed = streaming_encode(
+            encoder, x_series, ds.graph,
+            time_chunk=args.encode_time_chunk or 64,
+            extra_lanes=lanes, precision="default")
+        jax.block_until_ready(packed)
+        logger.info(f"Streaming packed encode in "
+                    f"{time.time() - t_enc:.1f}s -> {packed.shape} "
+                    f"{packed.dtype}")
+        # same exogenous rewiring as encode_dataset (lib/utils.py:40-46):
+        # u <- (exog if not encoded) + (scaled raw series if keep_raw)
+        exog_keys = [] if args.preprocess_exogenous else \
+            [k for k in ds.exog_keys if k in ds.covariates]
+        if args.keep_raw:
+            exog_keys = exog_keys + ["target_scaled"]
+        ds.exog_keys = exog_keys
+        u_arr = ds.exog_array()
+        u = None if u_arr is None else jnp.asarray(u_arr, jnp.float32)
+        enc = None
+        x_size = encoder.output_size
+        u_size = 0 if u is None else int(u.shape[-1])
+    else:
+        encode_dataset(ds, encoder,
+                       encode_exogenous=args.preprocess_exogenous,
+                       keep_raw=args.keep_raw, device_resident=True,
+                       store_dtype=args.encode_dtype or "bfloat16",
+                       time_chunk=args.encode_time_chunk or 128)
+        enc, tgt, mask, _valid_all, h_off, u = fused_iid_inputs(ds)
+        sample = ds.gather_iid_batch(np.array([0]), np.array([0]))
+        x_size = sample["x"].shape[-1]
+        u_size = sample["u"].shape[-1] if "u" in sample else 0
+        packed = getattr(args, "packed_gather", True)
 
     # train on the train slice only (IIDDataset restricted via reduce,
     # sgp_datamodule.py:42-44)
     train_steps = ds.indices()[split.train]
-    enc, tgt, mask, _valid_all, h_off, u = fused_iid_inputs(ds)
     valid = jnp.asarray(train_steps)
-
-    sample = ds.gather_iid_batch(np.array([0]), np.array([0]))
-    x_size = sample["x"].shape[-1]
-    u_size = sample["u"].shape[-1] if "u" in sample else 0
     model = SGPModel(
         input_size=x_size, order=order, n_nodes=ds.n_nodes,
         hidden_size=args.hidden_size, mlp_size=args.mlp_size,
@@ -103,9 +152,9 @@ def run_experiment(args):
         ds.scaler_params(), u=u, batch_size=args.batch_size,
         scale_target=args.scale_target, steps_per_call=batches_epoch,
         # one wide row gather per sample instead of separate scalar
-        # target/mask gathers: +74% step throughput on TPU (costs one
-        # extra encoding-sized array while packing)
-        packed=getattr(args, "packed_gather", True))
+        # target/mask gathers: +74% step throughput on TPU. In the
+        # streaming path ``packed`` IS the prebuilt packed array.
+        packed=packed)
 
     t0 = time.time()
     best_loss, best_params = np.inf, params
@@ -127,9 +176,13 @@ def run_experiment(args):
     metrics = MaskedMetrics.forecasting()
     infer_bs = args.batch_inference or 16
     test_eval = make_fused_eval(
-        model, enc, tgt, mask, ds.indices()[split.test],
+        model, packed if streaming_packed else enc, tgt, mask,
+        ds.indices()[split.test],
         jnp.asarray(ds.windowing.window_offsets()), h_off,
-        ds.scaler_params(), metrics, u=u, batch_size=infer_bs)
+        ds.scaler_params(), metrics, u=u, batch_size=infer_bs,
+        # packed rows carry the features first: eval slices them out,
+        # so ONLY the packed array has to live in HBM
+        x_slice=x_size if streaming_packed else None)
     results = {f"test_{k}": v for k, v in test_eval(params).items()}
     results["train_time_s"] = time.time() - t0
     logger.info(f"test: {results}")

@@ -109,7 +109,7 @@ def make_fused_eval(model, x_full, target, mask,
                     item_starts, window_offsets, horizon_offsets,
                     scaler: ScalerParams, metrics: MaskedMetrics,
                     u=None, support_ops=None, batch_size: int = 64,
-                    apply_fn=None):
+                    apply_fn=None, x_slice: int = None):
     """Fused full-pass evaluation: window gather, forward,
     inverse-transform and masked metric accumulation over ALL eval items
     run as ONE jitted ``lax.scan`` over batches — one device dispatch
@@ -158,6 +158,12 @@ def make_fused_eval(model, x_full, target, mask,
             w_steps = items[:, None] + w_off[None, :]
             h_steps = items[:, None] + h_off[None, :]
             x = xf[w_steps]                       # [B, W, N, C]
+            if x_slice is not None:
+                # x_full is a PACKED row layout (features first, then
+                # target/mask lanes — train/iid.py::pack_iid_data):
+                # evaluation reads only the feature lanes, so callers
+                # can keep ONLY the packed array in HBM
+                x = x[..., :x_slice]
             if ops is not None:
                 parts = [x]
                 for op in ops:

@@ -40,3 +40,28 @@ def test_largescale_runner_stratified():
     res = _run(run_experiment, configure_parser,
                BASE + ["--iid-stratified", "true"])
     assert np.isfinite(res["test_mae"])
+
+
+def test_largescale_runner_streaming_packed_matches_fallback():
+    """The streaming-packed encode path (packed layout emitted straight
+    from one fused program; unpacked encoding never stored) must engage
+    by default and reproduce the encode_dataset fallback's metrics
+    (same bf16 features, bit-exact packed targets)."""
+    import io
+    import logging
+
+    from sgp_tpu.exp.run_largescale_sgp import (configure_parser,
+                                                run_experiment)
+
+    buf = io.StringIO()
+    handler = logging.StreamHandler(buf)
+    logging.getLogger("sgp_tpu").addHandler(handler)
+    try:
+        base = BASE + ["--batches-epoch", "4"]
+        r1 = _run(run_experiment, configure_parser, list(base))
+        assert "Streaming packed encode" in buf.getvalue()
+        r2 = _run(run_experiment, configure_parser,
+                  base + ["--encode-dtype", "float32"])  # forces fallback
+    finally:
+        logging.getLogger("sgp_tpu").removeHandler(handler)
+    assert abs(r1["test_mae"] - r2["test_mae"]) < 0.05 * r2["test_mae"]
