@@ -376,6 +376,27 @@ def _run_child(name: str, timeout: float) -> dict:
         return {f"{name}_error": str(e)[:160]}
 
 
+def _relay_alive() -> bool:
+    """Fast preflight for the remote-TPU stdio relay (CLAUDE.md: local
+    daemon listening on 127.0.0.1:8082..8117). When the relay has died
+    (observed after a compile-service OOM) every TPU-touching child
+    hangs until its timeout — ~30 min of dead air before an empty
+    result. Only short-circuits when EVERY relay port refuses, so an
+    unhealthy-but-listening relay still gets the normal attempt."""
+    import socket
+    for port in range(8082, 8118):
+        s = socket.socket()
+        s.settimeout(2)
+        try:
+            s.connect(("127.0.0.1", port))
+            return True
+        except OSError:
+            continue
+        finally:
+            s.close()
+    return False
+
+
 def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--section":
         name = sys.argv[2]
@@ -389,6 +410,19 @@ def main():
         return
 
     t_start = time.time()
+
+    if not _relay_alive():
+        print(json.dumps({
+            "metric": "sgp_iid_decoder_train_throughput_pvus100nn_b4096",
+            "value": 0.0,
+            "unit": "batch/s",
+            "vs_baseline": 0.0,
+            "extras": {"tpu_relay_down":
+                       "all relay ports 8082-8117 refused; the TPU "
+                       "tunnel daemon is dead (infra-side restart "
+                       "needed) — see CLAUDE.md tunnel-death notes"},
+        }))
+        return
 
     def remaining():
         return BUDGET_S - (time.time() - t_start)
