@@ -25,6 +25,34 @@ from sgp_tpu.data.spatiotemporal import SpatioTemporalDataset
 from sgp_tpu.utils.logging import logger
 
 
+def encoder_input_array(dataset: SpatioTemporalDataset,
+                        encode_exogenous: bool) -> jnp.ndarray:
+    """Assemble the encoder input series ``[T, N, F]``: the scaled
+    target plus (optionally) the exogenous covariates, node-broadcast
+    (``lib/utils.py:17-24``). Shared by the precompute path and the
+    streaming/stratified runner paths so their encoder inputs cannot
+    diverge."""
+    prev_keys = list(dataset.input_keys)
+    keys = ["target_scaled"]
+    if encode_exogenous:
+        keys += [k for k in dataset.exog_keys if k in dataset.covariates]
+    dataset.set_input_keys(keys)
+    x = jnp.asarray(dataset.input_array())
+    dataset.set_input_keys(prev_keys)
+    return x
+
+
+def rewire_exog_keys(dataset: SpatioTemporalDataset,
+                     encode_exogenous: bool, keep_raw: bool) -> None:
+    """Post-encode decoder-exogenous rewiring (``lib/utils.py:40-46``):
+    ``u <- (exog if not already encoded) + (scaled raw if keep_raw)``."""
+    exog = [] if encode_exogenous else \
+        [k for k in dataset.exog_keys if k in dataset.covariates]
+    if keep_raw:
+        exog = exog + ["target_scaled"]
+    dataset.exog_keys = exog
+
+
 def encode_dataset(dataset: SpatioTemporalDataset,
                    encoder,
                    encode_exogenous: bool = True,
@@ -51,14 +79,7 @@ def encode_dataset(dataset: SpatioTemporalDataset,
             encoded = jnp.asarray(encoded)  # back into HBM
         logger.info(f"Loaded cached encoding from {save_path}")
     else:
-        # assemble encoder input: scaled target (+ exogenous), node-broadcast
-        prev_keys = list(dataset.input_keys)
-        keys = ["target_scaled"]
-        if encode_exogenous:
-            keys += [k for k in dataset.exog_keys if k in dataset.covariates]
-        dataset.set_input_keys(keys)
-        x = jnp.asarray(dataset.input_array())
-        dataset.set_input_keys(prev_keys)
+        x = encoder_input_array(dataset, encode_exogenous)
 
         start = time.time()
         enc_kwargs = {}
@@ -93,9 +114,5 @@ def encode_dataset(dataset: SpatioTemporalDataset,
 
     dataset.add_covariate("encoded_x", encoded, pattern="t n c")
     dataset.set_input_keys(["encoded_x"])
-    exog = [] if encode_exogenous else \
-        [k for k in dataset.exog_keys if k in dataset.covariates]
-    if keep_raw:
-        exog = exog + ["target_scaled"]
-    dataset.exog_keys = exog
+    rewire_exog_keys(dataset, encode_exogenous, keep_raw)
     return dataset

@@ -76,14 +76,10 @@ def run_experiment(args):
         and (args.encode_dtype or "bfloat16") == "bfloat16")
     if streaming_packed:
         from sgp_tpu.encode import streaming_encode
+        from sgp_tpu.encode.encode_dataset import (encoder_input_array,
+                                                   rewire_exog_keys)
         from sgp_tpu.train.iid import pack_iid_data
-        prev_keys = list(ds.input_keys)
-        keys = ["target_scaled"]
-        if args.preprocess_exogenous:
-            keys += [k for k in ds.exog_keys if k in ds.covariates]
-        ds.set_input_keys(keys)
-        x_series = jnp.asarray(ds.input_array())
-        ds.set_input_keys(prev_keys)
+        x_series = encoder_input_array(ds, args.preprocess_exogenous)
         tgt = jnp.asarray(ds.target, jnp.float32)
         mask = jnp.asarray(ds.mask)
         h_off = jnp.asarray(ds.windowing.horizon_offsets())
@@ -91,21 +87,18 @@ def run_experiment(args):
             jnp.zeros(t.shape[:2] + (0,), jnp.bfloat16), t, m, h_off))(
                 tgt, mask)
         t_enc = time.time()
+        # precision="highest" matches the encode_dataset fallback (K-hop
+        # A@h in f32); "default" (bf16 MXU) is an explicit opt-in
         packed = streaming_encode(
             encoder, x_series, ds.graph,
             time_chunk=args.encode_time_chunk or 64,
-            extra_lanes=lanes, precision="default")
+            extra_lanes=lanes,
+            precision=getattr(args, "encode_precision", "highest"))
         jax.block_until_ready(packed)
         logger.info(f"Streaming packed encode in "
                     f"{time.time() - t_enc:.1f}s -> {packed.shape} "
                     f"{packed.dtype}")
-        # same exogenous rewiring as encode_dataset (lib/utils.py:40-46):
-        # u <- (exog if not encoded) + (scaled raw series if keep_raw)
-        exog_keys = [] if args.preprocess_exogenous else \
-            [k for k in ds.exog_keys if k in ds.covariates]
-        if args.keep_raw:
-            exog_keys = exog_keys + ["target_scaled"]
-        ds.exog_keys = exog_keys
+        rewire_exog_keys(ds, args.preprocess_exogenous, args.keep_raw)
         u_arr = ds.exog_array()
         u = None if u_arr is None else jnp.asarray(u_arr, jnp.float32)
         enc = None
@@ -227,11 +220,9 @@ def run_experiment_stratified(args):
                     input_scaling=args.input_scaling,
                     activation=args.reservoir_activation,
                     seed=args.seed)
-    prev = list(ds.input_keys)
-    ds.set_input_keys(["target_scaled"]
-                      + (["u"] if args.preprocess_exogenous else []))
-    x_series = jnp.asarray(ds.input_array())
-    ds.set_input_keys(prev)
+    from sgp_tpu.encode.encode_dataset import (encoder_input_array,
+                                               rewire_exog_keys)
+    x_series = encoder_input_array(ds, args.preprocess_exogenous)
     t0 = time.time()
     h_temporal = jax.block_until_ready(
         res(x_series, out_dtype=args.encode_dtype or "bfloat16"))
@@ -246,12 +237,10 @@ def run_experiment_stratified(args):
     order = derive_order(args)
     d_total = int(h_temporal.shape[-1]) * (1 + len(ops)
                                            + (1 if args.global_attr else 0))
-    # decoder exogenous mirrors encode_dataset's rewiring
-    # (``lib/utils.py:40-46``): the datetime exog goes to the decoder
-    # only if NOT already encoded into the reservoir; keep_raw adds the
-    # scaled raw series
-    ds.exog_keys = ([] if args.preprocess_exogenous else ["u"]) \
-        + (["target_scaled"] if args.keep_raw else [])
+    # decoder exogenous mirrors encode_dataset's rewiring: the datetime
+    # exog goes to the decoder only if NOT already encoded into the
+    # reservoir; keep_raw adds the scaled raw series
+    rewire_exog_keys(ds, args.preprocess_exogenous, args.keep_raw)
     u_arr = ds.exog_array()
     u = None if u_arr is None else jnp.asarray(u_arr)
     u_size = 0 if u is None else int(u.shape[-1])
@@ -333,6 +322,13 @@ def configure_parser_largescale():
     parser = configure_parser()
     parser.add_argument("--iid-stratified", type=str2bool, default=False)
     parser.add_argument("--times-per-batch", type=int, default=32)
+    parser.add_argument("--encode-precision", type=str, default="highest",
+                        choices=("highest", "default"),
+                        help="matmul precision for the streaming K-hop "
+                             "propagation; 'highest' matches the "
+                             "encode_dataset fallback, 'default' runs "
+                             "the MXU in bf16 (faster, ~1e-2 feature "
+                             "error)")
     parser.add_argument("--packed-gather", type=str2bool, default=True,
                         help="pack features+targets+masks into one wide "
                              "bf16 row per (t, n) so the fused IID step "

@@ -90,8 +90,10 @@ def build_halo_spec(g: Graph, n_shards: int, dtype=jnp.float32) -> HaloSpec:
         for j in range(s):
             if j == i:
                 continue
-            block = rows[:, j * nl:min((j + 1) * nl, n)]
-            nz = np.unique(block.tocoo().col)
+            block = rows[:, j * nl:min((j + 1) * nl, n)].tocoo()
+            # explicitly-stored zeros are not real dependencies: they'd
+            # inflate b_max / the send buffers / the bytes-per-hop ledger
+            nz = np.unique(block.col[block.data != 0])
             need[i][j] = nz
             counts[i, j] = len(nz)
     b_max = max(1, int(counts.max()))

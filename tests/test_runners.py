@@ -50,8 +50,8 @@ def test_largescale_runner_streaming_packed_matches_fallback():
     import io
     import logging
 
-    from sgp_tpu.exp.run_largescale_sgp import (configure_parser,
-                                                run_experiment)
+    from sgp_tpu.exp.run_largescale_sgp import (
+        configure_parser_largescale as configure_parser, run_experiment)
 
     buf = io.StringIO()
     handler = logging.StreamHandler(buf)
@@ -60,8 +60,14 @@ def test_largescale_runner_streaming_packed_matches_fallback():
         base = BASE + ["--batches-epoch", "4"]
         r1 = _run(run_experiment, configure_parser, list(base))
         assert "Streaming packed encode" in buf.getvalue()
+        # same bf16 encoding via encode_dataset, unpacked gathers —
+        # isolates the streaming/packed CODE PATH (not the precision)
         r2 = _run(run_experiment, configure_parser,
-                  base + ["--encode-dtype", "float32"])  # forces fallback
+                  base + ["--packed-gather", "false"])
+        # and the f32-encoding fallback stays in the same ballpark
+        r3 = _run(run_experiment, configure_parser,
+                  base + ["--encode-dtype", "float32"])
     finally:
         logging.getLogger("sgp_tpu").removeHandler(handler)
-    assert abs(r1["test_mae"] - r2["test_mae"]) < 0.05 * r2["test_mae"]
+    assert abs(r1["test_mae"] - r2["test_mae"]) < 2e-3 * r2["test_mae"]
+    assert abs(r1["test_mae"] - r3["test_mae"]) < 0.05 * r3["test_mae"]
