@@ -220,6 +220,110 @@ def make_sharded_iid_step(model, optimizer, encoded, target, mask,
     return step
 
 
+def make_sharded_iid_eval(model, encoded, target, mask, item_starts,
+                          window_offsets, horizon_offsets, scaler,
+                          metrics, mesh: Mesh, u=None,
+                          axis: str = "data", batch_size: int = 32,
+                          x_slice=None):
+    """Node-sharded fused evaluation — the multi-chip counterpart of
+    ``train.fused_window.make_fused_eval`` (same semantics: reference
+    eval loop ``tsl/predictors/base_predictor.py:267-303``).
+
+    Each device evaluates every eval window on ITS node slab of the
+    encoded/target/mask arrays (1/n of each array per device, matching
+    :func:`make_sharded_iid_step`'s placement), accumulates masked
+    metric states locally in one ``lax.scan``, and psums the scalar
+    states at the end — the full encoding never gathers onto one chip,
+    completing the sharded encode -> train -> eval pipeline. Padded
+    eval slots and padded nodes carry ``mask=False``.
+
+    ``x_slice`` reads only the first lanes of a packed row layout
+    (``train.iid.pack_iid_data``), as in ``make_fused_eval``. Arrays
+    already node-sharded by ``shard_nodes`` (or ``make_sharded_iid_step``)
+    are reused in place.
+    """
+    import numpy as np
+
+    from jax import shard_map
+    from sgp_tpu.parallel.halo import shard_nodes
+
+    n_shards = mesh.shape[axis]
+    n_nodes = encoded.shape[1]
+    n_local = -(-n_nodes // n_shards)
+    has_u = u is not None
+    u_node = has_u and u.ndim == 3
+
+    encoded = shard_nodes(encoded, mesh, axis, node_axis=1)
+    target = shard_nodes(target, mesh, axis, node_axis=1)
+    mask = shard_nodes(mask, mesh, axis, node_axis=1)   # pads -> False
+    if u_node:
+        u = shard_nodes(u, mesh, axis, node_axis=1)
+    elif has_u:
+        u = jax.device_put(u, NamedSharding(mesh, P()))
+
+    item_starts = np.asarray(item_starts)
+    s = len(item_starts)
+    n_batches = -(-s // batch_size)
+    pad = n_batches * batch_size - s
+    starts = np.concatenate(
+        [item_starts, np.full(pad, item_starts[0] if s else 0,
+                              item_starts.dtype)])
+    ok_flags = np.concatenate([np.ones(s, bool), np.zeros(pad, bool)])
+    starts = jnp.asarray(starts).reshape(n_batches, batch_size)
+    ok_flags = jnp.asarray(ok_flags).reshape(n_batches, batch_size)
+
+    node_spec = P(None, axis, None)
+    repl = P()
+    data = (encoded, target, mask, starts, ok_flags,
+            jnp.asarray(window_offsets), jnp.asarray(horizon_offsets)) \
+        + ((u,) if has_u else ())
+    data_specs = (node_spec, node_spec, node_spec, repl, repl, repl,
+                  repl) + (((node_spec if u_node else repl),)
+                           if has_u else ())
+
+    def local_eval(params, data):
+        enc, tgt, msk, st, okf, w_off, h_off = data[:7]
+        u_arr = data[7] if has_u else None
+        shard_id = jax.lax.axis_index(axis)
+        node_ids = shard_id * n_local + jnp.arange(n_local)
+        sc = scaler.index_nodes(node_ids)
+
+        def body(state, inp):
+            items, ok = inp                       # [B], [B] bool
+            w_steps = items[:, None] + w_off[None, :]
+            h_steps = items[:, None] + h_off[None, :]
+            x = enc[w_steps]                      # [B, W, Nl, F]
+            if x_slice is not None:
+                x = x[..., :x_slice]              # packed: feature lanes
+            y = tgt[h_steps]
+            m = msk[h_steps] & ok[:, None, None, None]
+            kwargs = {}
+            if has_u:
+                uu = u_arr[w_steps]
+                kwargs["u"] = uu
+            y_hat = model.apply(params, x, node_index=node_ids,
+                                training=False, **kwargs)
+            y_hat = sc.inverse_transform(y_hat)
+            return metrics.update(state, y_hat, y, m), None
+
+        state, _ = jax.lax.scan(body, metrics.init(), (st, okf))
+        # scalar (value, count) sums -> global metrics
+        return jax.lax.psum(state, axis)
+
+    sharded = shard_map(local_eval, mesh=mesh,
+                        in_specs=(repl, data_specs), out_specs=repl,
+                        check_vma=False)
+    jitted = jax.jit(sharded)
+
+    def eval_fn(params):
+        state = jax.block_until_ready(jitted(params, data))
+        return metrics.compute(state)
+
+    eval_fn.core = jitted
+    eval_fn.data = data
+    return eval_fn
+
+
 def sharded_ridge(x_shards, y_shards, alpha: float, mesh: Mesh):
     """Distributed normal-equations ridge: each data shard computes its
     Gram/moment contribution, psum over ``data``, Cholesky replicated

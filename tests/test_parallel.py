@@ -273,3 +273,95 @@ def test_sharded_iid_packed_is_node_sharded(rng):
     shards = big.addressable_shards
     assert len(shards) == 8
     assert shards[0].data.nbytes * 8 == big.nbytes
+
+
+def test_sharded_eval_matches_fused_eval(rng):
+    """Node-sharded fused eval == single-device make_fused_eval on the
+    same params (non-divisible N exercises node padding; per-node
+    scaler exercises index_nodes inside the shard)."""
+    from sgp_tpu.data import ScalerParams
+    from sgp_tpu.models import SGPModel
+    from sgp_tpu.parallel import make_sharded_iid_eval
+    from sgp_tpu.train import MaskedMetrics
+    from sgp_tpu.train.fused_window import make_fused_eval
+
+    t, n, f, h = 40, 21, 6, 3
+    enc = rng.standard_normal((t, n, f)).astype(np.float32)
+    tgt = rng.standard_normal((t, n, 1)).astype(np.float32)
+    msk = rng.random((t, n, 1)) > 0.2
+    u = rng.standard_normal((t, 2)).astype(np.float32)
+    scaler = ScalerParams(
+        jnp.asarray(rng.standard_normal((1, n, 1)).astype(np.float32)),
+        jnp.asarray(1.0 + rng.random((1, n, 1)).astype(np.float32)))
+    # n_pad nodes so positional embeddings cover the padded slab too
+    n_pad = -(-n // 8) * 8
+    model = SGPModel(input_size=f, order=3, n_nodes=n_pad, hidden_size=12,
+                     mlp_size=8, output_size=1, n_layers=1, horizon=h,
+                     positional_encoding=True)
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "dropout": key},
+                        jnp.zeros((2, 1, n, f)), u=jnp.zeros((2, 1, 2)),
+                        node_index=jnp.arange(n))
+    items = np.arange(t - h - 1)
+    w_off, h_off = np.array([0]), 1 + np.arange(h)
+    metrics = MaskedMetrics.forecasting()
+    def apply_fn(p, x, uu):   # model built with n_pad nodes: the
+        return model.apply(   # single-device run names its n real nodes
+            p, x, u=uu, node_index=jnp.arange(n), training=False)
+
+    ref = make_fused_eval(model, jnp.asarray(enc), jnp.asarray(tgt),
+                          jnp.asarray(msk), items, w_off, h_off, scaler,
+                          metrics, u=jnp.asarray(u), batch_size=8,
+                          apply_fn=apply_fn)(params)
+    mesh = make_mesh(8, 1)
+    with mesh:
+        got = make_sharded_iid_eval(
+            model, jnp.asarray(enc), jnp.asarray(tgt), jnp.asarray(msk),
+            items, w_off, h_off, scaler, metrics, mesh,
+            u=jnp.asarray(u), batch_size=8)(params)
+    assert ref.keys() == got.keys()
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=2e-5, err_msg=k)
+
+
+def test_sharded_eval_packed_x_slice(rng):
+    """Sharded eval over a PACKED row layout (x_slice) == sharded eval
+    over the unpacked encoding, and the packed array stays 1/n/device."""
+    from sgp_tpu.data import ScalerParams
+    from sgp_tpu.models import SGPModel
+    from sgp_tpu.parallel import make_sharded_iid_eval
+    from sgp_tpu.train import MaskedMetrics
+    from sgp_tpu.train.iid import pack_iid_data
+
+    t, n, f, h = 30, 24, 4, 2
+    enc = jnp.asarray(
+        rng.standard_normal((t, n, f)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    tgt = jnp.asarray(rng.standard_normal((t, n, 1)).astype(np.float32))
+    msk = jnp.ones((t, n, 1), bool)
+    h_off = 1 + jnp.arange(h)
+    packed = pack_iid_data(enc, tgt, msk, h_off)
+    model = SGPModel(input_size=f, order=2, n_nodes=n, hidden_size=8,
+                     mlp_size=8, output_size=1, n_layers=1, horizon=h,
+                     positional_encoding=True)
+    key = jax.random.PRNGKey(1)
+    params = model.init({"params": key, "dropout": key},
+                        jnp.zeros((2, 1, n, f)))
+    items = np.arange(t - h - 1)
+    metrics = MaskedMetrics.forecasting()
+    scaler = ScalerParams(jnp.zeros(1), jnp.ones(1))
+    mesh = make_mesh(8, 1)
+    with mesh:
+        ev_ref = make_sharded_iid_eval(
+            model, enc.astype(jnp.float32), tgt, msk, items,
+            np.array([0]), h_off, scaler, metrics, mesh, batch_size=4)
+        ref = ev_ref(params)
+        ev_pk = make_sharded_iid_eval(
+            model, packed, tgt, msk, items, np.array([0]), h_off,
+            scaler, metrics, mesh, batch_size=4, x_slice=f)
+        got = ev_pk(params)
+    big = ev_pk.data[0]
+    assert big.addressable_shards[0].data.nbytes * 8 <= big.nbytes
+    for k in ref:
+        # bf16 features either way; forward in f32 vs bf16-cast rows
+        np.testing.assert_allclose(got[k], ref[k], rtol=5e-3, err_msg=k)
