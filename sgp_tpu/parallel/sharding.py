@@ -220,6 +220,107 @@ def make_sharded_iid_step(model, optimizer, encoded, target, mask,
     return step
 
 
+def make_sharded_window_step(model, optimizer, x_full, target, mask,
+                             item_starts, window_offsets, horizon_offsets,
+                             scaler, mesh: Mesh, u=None, support_ops=None,
+                             batch_size: int = 64, loss: str = "mae",
+                             scale_target: bool = False,
+                             steps_per_call: int = 1, axis: str = "data"):
+    """Data-parallel fused windowed training — the multi-chip variant of
+    ``train.fused_window.make_fused_window_step`` (the traffic path, and
+    every full-graph baseline model that trains on windows).
+
+    Each device draws ``batch_size / n`` window starts from its own RNG
+    stream (``fold_in(shard_id)`` — jointly uniform over items), gathers
+    and propagates locally on the replicated series (traffic-scale
+    arrays are small; HBM scaling is the IID path's concern — this path
+    shards the per-step FLOPs), and the loss numerator/denominator and
+    gradients psum over ``axis``, keeping replicated params
+    bit-identical across devices. ``steps_per_call > 1`` scans that
+    many optimizer steps per dispatch.
+    """
+    import optax
+
+    from jax import shard_map
+    from sgp_tpu.train.metrics import _METRIC_FNS, _masked_reduce
+
+    n_shards = mesh.shape[axis]
+    assert batch_size % n_shards == 0
+    local_bs = batch_size // n_shards
+    loss_pt = _METRIC_FNS[loss]
+    has_u = u is not None
+    repl = P()
+
+    def put(a):
+        return jax.device_put(jnp.asarray(a), NamedSharding(mesh, repl))
+
+    data = (put(x_full), put(target), put(mask), put(item_starts),
+            put(window_offsets), put(horizon_offsets)) \
+        + ((jax.tree.map(put, tuple(support_ops)),)
+           if support_ops is not None else ()) \
+        + ((put(u),) if has_u else ())
+    # prefix specs: one replicated P() per top-level entry covers the
+    # operator pytree subtree too
+    data_specs = (repl,) * 6 \
+        + ((repl,) if support_ops is not None else ()) \
+        + ((repl,) if has_u else ())
+
+    def local_loss(params, rng, data):
+        xf, tgt, msk, starts, w_off, h_off = data[:6]
+        ops = data[6] if support_ops is not None else None
+        u_arr = data[-1] if has_u else None
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        rng_i, rng_d = jax.random.split(rng)
+        items = jax.random.choice(rng_i, starts, (local_bs,))
+        w_steps = items[:, None] + w_off[None, :]
+        h_steps = items[:, None] + h_off[None, :]
+        x = xf[w_steps]                          # [Bl, W, N, Cin]
+        if ops is not None:
+            parts = [x]
+            for op in ops:
+                parts.append(op @ x)
+            x = jnp.concatenate(parts, -1)
+        y = tgt[h_steps]
+        m = msk[h_steps]
+        kwargs = {}
+        if has_u:
+            kwargs["u"] = u_arr[w_steps]
+        y_hat = model.apply(params, x, training=True,
+                            rngs={"dropout": rng_d}, **kwargs)
+        if scale_target:
+            y_ref = scaler.transform(y)
+        else:
+            y_hat = scaler.inverse_transform(y_hat)
+            y_ref = y
+        v, cnt = _masked_reduce(loss_pt, y_hat, y_ref, m)
+        v = jax.lax.psum(v, axis)
+        cnt = jax.lax.psum(cnt, axis)
+        return v / jnp.maximum(cnt, 1.0)
+
+    def local_step(params, opt_state, rng, data):
+        def body(carry, key):
+            p, s = carry
+            loss_val, grads = jax.value_and_grad(local_loss)(p, key, data)
+            grads = jax.lax.psum(grads, axis)
+            updates, s = optimizer.update(grads, s, p)
+            return (optax.apply_updates(p, updates), s), loss_val
+        keys = jax.random.split(rng, max(steps_per_call, 1))
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), keys)
+        return params, opt_state, losses.mean()
+
+    sharded = shard_map(local_step, mesh=mesh,
+                        in_specs=(repl, repl, repl, data_specs),
+                        out_specs=(repl, repl, repl), check_vma=False)
+    jitted = jax.jit(sharded)
+
+    def step(params, opt_state, rng):
+        return jitted(params, opt_state, rng, data)
+
+    step.data = data
+    return step
+
+
 def make_sharded_iid_eval(model, encoded, target, mask, item_starts,
                           window_offsets, horizon_offsets, scaler,
                           metrics, mesh: Mesh, u=None,

@@ -365,3 +365,71 @@ def test_sharded_eval_packed_x_slice(rng):
     for k in ref:
         # bf16 features either way; forward in f32 vs bf16-cast rows
         np.testing.assert_allclose(got[k], ref[k], rtol=5e-3, err_msg=k)
+
+
+def test_sharded_window_step_matches_single_device_emulation(rng):
+    """DP windowed training (the traffic path's multi-chip variant):
+    sharded loss AND updated params equal a single-device emulation of
+    the 8 per-shard RNG streams, incl. support-op propagation."""
+    import optax
+
+    from sgp_tpu.data import ScalerParams
+    from sgp_tpu.models import SGPModel
+    from sgp_tpu.parallel import make_sharded_window_step
+    from sgp_tpu.train.metrics import _METRIC_FNS, _masked_reduce
+
+    mesh = make_mesh(8, 1)
+    t, n, f, h = 60, 12, 3, 2
+    g = graph(rng, n)
+    op = build_operator(g, "dense")
+    xf = jnp.asarray(rng.standard_normal((t, n, f)).astype(np.float32))
+    tgt = jnp.asarray(rng.standard_normal((t, n, 1)).astype(np.float32))
+    msk = jnp.asarray(rng.random((t, n, 1)) > 0.1)
+    starts = jnp.arange(t - h - 2)
+    w_off, h_off = jnp.arange(2), 2 + jnp.arange(h)
+    scaler = ScalerParams(jnp.zeros(1), 2.0 * jnp.ones(1))
+    model = SGPModel(input_size=2 * f, order=2, n_nodes=n, hidden_size=12,
+                     mlp_size=8, output_size=1, n_layers=1, horizon=h,
+                     positional_encoding=True)
+    key = jax.random.PRNGKey(3)
+    params = model.init({"params": key, "dropout": key},
+                        jnp.zeros((2, 2, n, 2 * f)))
+    opt = optax.adam(1e-3)
+    n_shards, local_bs = 8, 4
+    step = make_sharded_window_step(
+        model, opt, xf, tgt, msk, starts, w_off, h_off, scaler, mesh,
+        support_ops=[op], batch_size=n_shards * local_bs)
+    with mesh:
+        p_sh, _, loss_sh = step(params, opt.init(params), key)
+    loss_sh = float(loss_sh)
+
+    def emulated_loss(p):
+        keys = jax.random.split(key, 1)
+        total_v, total_c = 0.0, 0.0
+        for shard_id in range(n_shards):
+            r = jax.random.fold_in(keys[0], shard_id)
+            rng_i, rng_d = jax.random.split(r)
+            items = jax.random.choice(rng_i, starts, (local_bs,))
+            x = xf[items[:, None] + w_off[None, :]]
+            x = jnp.concatenate([x, op @ x], -1)
+            y = tgt[items[:, None] + h_off[None, :]]
+            m = msk[items[:, None] + h_off[None, :]]
+            y_hat = model.apply(p, x, training=True,
+                                rngs={"dropout": rng_d})
+            y_hat = scaler.inverse_transform(y_hat)
+            v, c = _masked_reduce(_METRIC_FNS["mae"], y_hat, y, m)
+            total_v = total_v + v
+            total_c = total_c + c
+        return total_v / jnp.maximum(total_c, 1.0)
+
+    loss_em, grads = jax.value_and_grad(emulated_loss)(params)
+    np.testing.assert_allclose(loss_sh, float(loss_em), rtol=1e-5)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    p_em = optax.apply_updates(params, updates)
+    for a, b in zip(jax.tree_util.tree_leaves(p_sh),
+                    jax.tree_util.tree_leaves(p_em)):
+        # psum vs sequential-sum grad noise (~1e-7) passes through
+        # adam's m/sqrt(v): near-zero-gradient entries move by O(lr)
+        # regardless of the noise size, so compare at the lr scale
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=3e-4)
