@@ -115,38 +115,18 @@ def _packed_dtype_ok(encoded) -> bool:
     return False
 
 
-def make_fused_iid_step(model, optimizer,
-                        encoded: jnp.ndarray,      # [T, N, D] in HBM
-                        target: jnp.ndarray,       # [T, N, C]
-                        mask: jnp.ndarray,         # [T, N, C] bool
-                        valid_starts: jnp.ndarray,  # [S] window starts
-                        horizon_offsets: jnp.ndarray,  # [H]
-                        scaler: ScalerParams,
-                        u: Optional[jnp.ndarray] = None,  # [T, F] global
-                        batch_size: int = 4096,
-                        loss: str = "mae",
-                        scale_target: bool = False,
-                        packed: bool = False) -> Callable:
-    """Build ``step(params, opt_state, rng) -> (params, opt_state, loss)``
-    with everything fused into one jitted program.
-
-    The big arrays (encoded/target/mask/u) are threaded through the jit
-    boundary as explicit *arguments*, never closure captures — a
-    closed-over device array becomes a jaxpr constant that XLA tries to
-    fold, which stalls compilation for multi-GB encodings.
-
-    ``packed=True`` stores features+targets+masks in one wide bf16 row
-    per (t, n) (:func:`pack_iid_data`) so the whole sample batch is ONE
-    row gather — the separate per-(t+h, n) scalar gathers of
-    target/mask cost ~3x the feature gather on TPU (measured
-    0.42 ms vs 0.13 ms at batch 4096, PV-US scale; packed reaches
-    2153 batch/s vs 1236 unpacked). Targets are bit-exactly
-    reconstructed from two bf16 lanes; features reach the model in bf16
-    (as with bf16 device-resident encodings). Passing an ARRAY as
-    ``packed`` uses it as the prebuilt packed layout (``encoded`` may
-    then be None — useful when the packing is fused into the encode
-    program so the unpacked encoding never occupies HBM).
-    """
+def _build_iid_sample_and_loss(model, encoded, target, mask,
+                               valid_starts, horizon_offsets, scaler,
+                               u=None, batch_size: int = 4096,
+                               loss: str = "mae",
+                               scale_target: bool = False,
+                               packed: bool = False):
+    """Shared core of the fused IID steps: returns ``(data,
+    sample_and_loss)`` where ``sample_and_loss(params, rng, data)`` is
+    the pure sampling+gather+forward+masked-loss function and ``data``
+    the big-array pytree to thread through the jit boundary. Used by
+    the single-trial step and the vmapped multi-trial step so their
+    sampling/gather semantics cannot drift."""
     loss_pt = _METRIC_FNS[loss]
     n_h = int(np.asarray(horizon_offsets).shape[0])
     n_c = target.shape[-1]
@@ -202,6 +182,46 @@ def make_fused_iid_step(model, optimizer,
             y_ref = y
         v, cnt = _masked_reduce(loss_pt, y_hat, y_ref, m)
         return v / jnp.maximum(cnt, 1.0)
+
+    return data, sample_and_loss
+
+
+def make_fused_iid_step(model, optimizer,
+                        encoded: jnp.ndarray,      # [T, N, D] in HBM
+                        target: jnp.ndarray,       # [T, N, C]
+                        mask: jnp.ndarray,         # [T, N, C] bool
+                        valid_starts: jnp.ndarray,  # [S] window starts
+                        horizon_offsets: jnp.ndarray,  # [H]
+                        scaler: ScalerParams,
+                        u: Optional[jnp.ndarray] = None,  # [T, F] global
+                        batch_size: int = 4096,
+                        loss: str = "mae",
+                        scale_target: bool = False,
+                        packed: bool = False) -> Callable:
+    """Build ``step(params, opt_state, rng) -> (params, opt_state, loss)``
+    with everything fused into one jitted program.
+
+    The big arrays (encoded/target/mask/u) are threaded through the jit
+    boundary as explicit *arguments*, never closure captures — a
+    closed-over device array becomes a jaxpr constant that XLA tries to
+    fold, which stalls compilation for multi-GB encodings.
+
+    ``packed=True`` stores features+targets+masks in one wide bf16 row
+    per (t, n) (:func:`pack_iid_data`) so the whole sample batch is ONE
+    row gather — the separate per-(t+h, n) scalar gathers of
+    target/mask cost ~3x the feature gather on TPU (measured
+    0.42 ms vs 0.13 ms at batch 4096, PV-US scale; packed reaches
+    2153 batch/s vs 1236 unpacked). Targets are bit-exactly
+    reconstructed from two bf16 lanes; features reach the model in bf16
+    (as with bf16 device-resident encodings). Passing an ARRAY as
+    ``packed`` uses it as the prebuilt packed layout (``encoded`` may
+    then be None — useful when the packing is fused into the encode
+    program so the unpacked encoding never occupies HBM).
+    """
+    data, sample_and_loss = _build_iid_sample_and_loss(
+        model, encoded, target, mask, valid_starts, horizon_offsets,
+        scaler, u=u, batch_size=batch_size, loss=loss,
+        scale_target=scale_target, packed=packed)
 
     @jax.jit
     def _step(params, opt_state, rng, data):
