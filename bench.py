@@ -186,6 +186,40 @@ def section_headline() -> dict:
     out["train_batch_s"] = round(batch_s, 2)
     out["final_loss"] = float(loss)
 
+    # --- vmapped multi-trial training: K trials (seed+lr) in ONE
+    # program on shared batches — the gather and dispatch amortize, so
+    # trial-throughput should approach K x the single-trial rate
+    from sgp_tpu.train.multi_trial import (init_trial_params,
+                                           make_fused_iid_multi_trial_step)
+    k_trials = 8
+    stack = init_trial_params(
+        model, np.arange(k_trials),
+        {"x": jnp.zeros((8, feat)),
+         "node_index": jnp.zeros(8, jnp.int32), "iid": True})
+    mt_step = make_fused_iid_multi_trial_step(
+        model, None, target, mask, valid, h_off, scaler,
+        lrs=np.full(k_trials, 1e-3, np.float32), batch_size=4096,
+        steps_per_call=steps_per_call, packed=packed)
+    mt_opt = mt_step.init_opt(stack)
+    t0 = time.time()
+    stack, mt_opt, mt_loss = mt_step(stack, mt_opt, key)
+    _sync(mt_loss)
+    out["multitrial_compile_s"] = round(time.time() - t0, 2)
+    for _ in range(3):
+        key, k2 = jax.random.split(key)
+        stack, mt_opt, mt_loss = mt_step(stack, mt_opt, k2)
+    _sync(mt_loss)
+    t0 = time.time()
+    for _ in range(3):
+        key, k2 = jax.random.split(key)
+        stack, mt_opt, mt_loss = mt_step(stack, mt_opt, k2)
+    _sync(mt_loss)
+    mt_bps = 3 * steps_per_call / (time.time() - t0)
+    out["multitrial_k8_trial_batches_s"] = round(mt_bps * k_trials, 2)
+    out["multitrial_k8_speedup_vs_sequential"] = round(
+        mt_bps * k_trials / batch_s, 2)
+    del stack, mt_opt
+
     # MFU estimate from XLA's own cost model for the train step
     try:
         single = make_fused_iid_step(model, optimizer, None, target,

@@ -129,6 +129,12 @@ def run_experiment(args):
         emb_size=args.emb_size, exog_size=u_size, resnet=args.resnet,
         fully_connected=args.fully_connected, dropout=args.dropout)
 
+    if getattr(args, "search_lr", None) or getattr(args, "search_seeds",
+                                                   None):
+        return _run_multi_trial(args, ds, split, model, enc, tgt, mask,
+                                valid, h_off, u, packed,
+                                streaming_packed, x_size, u_size)
+
     key = jax.random.PRNGKey(args.seed)
     params = model.init(
         {"params": key, "dropout": key}, jnp.zeros((4, x_size)),
@@ -179,6 +185,94 @@ def run_experiment(args):
     results = {f"test_{k}": v for k, v in test_eval(params).items()}
     results["train_time_s"] = time.time() - t0
     logger.info(f"test: {results}")
+    return results
+
+
+def _run_multi_trial(args, ds, split, model, enc, tgt, mask, valid,
+                     h_off, u, packed, streaming_packed, x_size, u_size):
+    """On-device hyperparameter search over lr x seed: all trials train
+    in ONE vmapped program on shared sampled batches
+    (``train/multi_trial.py`` — the gather-bound step amortizes across
+    trials), fused val eval selects the winner, fused test eval reports
+    it. The process-parallel search (``exp/hyperopt.py``) stays the path
+    for shape-changing axes."""
+    from sgp_tpu.train.fused_window import make_fused_eval
+    from sgp_tpu.train.multi_trial import (best_trial, eval_trials,
+                                           init_trial_params,
+                                           make_fused_iid_multi_trial_step,
+                                           take_trial)
+
+    lrs = [float(v) for v in (args.search_lr or str(args.lr)).split(",")]
+    seeds = [int(v) for v in
+             (args.search_seeds or str(args.seed)).split(",")]
+    trials = [(lr, seed) for lr in lrs for seed in seeds]
+    k_trials = len(trials)
+    logger.info(f"vmapped search over {k_trials} trials (lr x seed): "
+                f"{trials}")
+    ex = {"x": jnp.zeros((4, x_size)),
+          "node_index": jnp.zeros(4, jnp.int32), "iid": True,
+          **({"u": jnp.zeros((4, u_size))} if u_size else {})}
+    stack = init_trial_params(model, [s for _, s in trials], ex)
+    batches_epoch = args.batches_epoch if args.batches_epoch > 0 else 32
+    step = make_fused_iid_multi_trial_step(
+        model, enc, tgt, mask, valid, h_off, ds.scaler_params(),
+        lrs=np.asarray([lr for lr, _ in trials], np.float32), u=u,
+        batch_size=args.batch_size, grad_clip=args.grad_clip_val,
+        scale_target=args.scale_target, steps_per_call=batches_epoch,
+        packed=packed)
+    opt_state = step.init_opt(stack)
+
+    @jax.jit
+    def keep_best(best_p, p, best_l, losses):
+        better = losses < best_l
+        sel = jax.tree.map(
+            lambda b, q: jnp.where(
+                better.reshape((k_trials,) + (1,) * (q.ndim - 1)), q, b),
+            best_p, p)
+        return sel, jnp.minimum(best_l, losses)
+
+    key = jax.random.PRNGKey(args.seed)
+    best_losses = jnp.full((k_trials,), np.inf)
+    best_stack = stack
+    t0 = time.time()
+    for epoch in range(args.epochs):
+        key, k = jax.random.split(key)
+        stack, opt_state, losses = step(stack, opt_state, k)
+        best_stack, best_losses = keep_best(best_stack, stack,
+                                            best_losses, losses)
+        if epoch % max(1, args.epochs // 20) == 0:
+            bps = (batches_epoch * k_trials * (epoch + 1)
+                   / max(time.time() - t0, 1e-9))
+            logger.info(f"epoch {epoch}: train_mae="
+                        f"{np.asarray(losses).round(4).tolist()} "
+                        f"({bps:.1f} trial-batch/s)")
+    train_time = time.time() - t0
+
+    metrics = MaskedMetrics.forecasting()
+    infer_bs = args.batch_inference or 16
+    w_off = jnp.asarray(ds.windowing.window_offsets())
+    x_big = packed if streaming_packed else enc
+    x_sl = x_size if streaming_packed else None
+
+    def fused(items):
+        return make_fused_eval(model, x_big, tgt, mask, items, w_off,
+                               h_off, ds.scaler_params(), metrics, u=u,
+                               batch_size=infer_bs, x_slice=x_sl)
+
+    val_items = ds.indices()[split.val]
+    sel_eval = fused(val_items if len(val_items) else
+                     ds.indices()[split.train])
+    per_trial_val = eval_trials(sel_eval, best_stack)
+    k_best = best_trial(per_trial_val, "mae")
+    test_res = fused(ds.indices()[split.test])(
+        take_trial(best_stack, k_best))
+    results = {f"test_{k}": v for k, v in test_res.items()}
+    results.update(
+        best_lr=trials[k_best][0], best_seed=trials[k_best][1],
+        val_mae_per_trial=per_trial_val["mae"].tolist(),
+        trials=[{"lr": lr, "seed": s} for lr, s in trials],
+        train_time_s=train_time)
+    logger.info(f"best trial {k_best} {trials[k_best]}: {results}")
     return results
 
 
@@ -322,6 +416,13 @@ def configure_parser_largescale():
     parser = configure_parser()
     parser.add_argument("--iid-stratified", type=str2bool, default=False)
     parser.add_argument("--times-per-batch", type=int, default=32)
+    parser.add_argument("--search-lr", type=str, default="",
+                        help="comma-separated lr list: train all lr x "
+                             "seed trials in ONE vmapped program on "
+                             "shared batches, select on fused val MAE")
+    parser.add_argument("--search-seeds", type=str, default="",
+                        help="comma-separated init seeds for the "
+                             "vmapped trial search")
     parser.add_argument("--encode-precision", type=str, default="highest",
                         choices=("highest", "default"),
                         help="matmul precision for the streaming K-hop "

@@ -71,3 +71,19 @@ def test_largescale_runner_streaming_packed_matches_fallback():
         logging.getLogger("sgp_tpu").removeHandler(handler)
     assert abs(r1["test_mae"] - r2["test_mae"]) < 2e-3 * r2["test_mae"]
     assert abs(r1["test_mae"] - r3["test_mae"]) < 0.05 * r3["test_mae"]
+
+
+def test_largescale_runner_vmapped_search():
+    """--search-lr/--search-seeds trains all trials in one vmapped
+    program, selects on fused val MAE, reports the winner's test
+    metrics plus the per-trial table."""
+    from sgp_tpu.exp.run_largescale_sgp import (
+        configure_parser_largescale as configure_parser, run_experiment)
+
+    res = _run(run_experiment, configure_parser,
+               BASE + ["--search-lr", "0.01,0.001",
+                       "--search-seeds", "0,1"])
+    assert len(res["trials"]) == 4
+    assert len(res["val_mae_per_trial"]) == 4
+    assert {"lr": res["best_lr"], "seed": res["best_seed"]} in res["trials"]
+    assert np.isfinite(res["test_mae"])
