@@ -14,6 +14,7 @@ Usage::
 """
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -155,18 +156,45 @@ def run_experiment(args):
         # streaming path ``packed`` IS the prebuilt packed array.
         packed=packed)
 
+    # restartable training (SURVEY §5.3): params + opt state + RNG +
+    # best-so-far serialized atomically every --checkpoint-every epochs;
+    # --resume continues the EXACT run (same RNG stream as uninterrupted)
+    from sgp_tpu.train.checkpoint import (check_model_config, model_config,
+                                          load_train_state,
+                                          save_train_state)
+    ckpt_every = getattr(args, "checkpoint_every", 0)
+    ckpt_path = getattr(args, "checkpoint_path", "") \
+        or f"{args.logdir}/train_state.ckpt"
+    start_epoch, best_loss, best_params = 0, np.inf, params
+    if getattr(args, "resume", False) and os.path.exists(ckpt_path):
+        params, opt_state, key, extra = load_train_state(
+            ckpt_path, params, opt_state)
+        check_model_config(extra["model_config"], model)
+        start_epoch = extra["epoch"] + 1
+        best_loss = extra["best_loss"]
+        best_params, _, _, _ = load_train_state(
+            ckpt_path + ".best", params)
+        logger.info(f"resumed from {ckpt_path} at epoch {start_epoch} "
+                    f"(best_loss={best_loss:.4f})")
+
     t0 = time.time()
-    best_loss, best_params = np.inf, params
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         key, k = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, k)
         loss = float(loss)
         if loss < best_loss:
             best_loss, best_params = loss, params
         if epoch % max(1, args.epochs // 20) == 0:
-            bps = batches_epoch * (epoch + 1) / max(time.time() - t0, 1e-9)
+            bps = (batches_epoch * (epoch + 1 - start_epoch)
+                   / max(time.time() - t0, 1e-9))
             logger.info(f"epoch {epoch}: train_mae={loss:.4f} "
                         f"({bps:.1f} batch/s)")
+        if ckpt_every and (epoch + 1) % ckpt_every == 0:
+            save_train_state(ckpt_path, params, opt_state, key,
+                             extra={"epoch": epoch,
+                                    "best_loss": best_loss,
+                                    "model_config": model_config(model)})
+            save_train_state(ckpt_path + ".best", best_params)
     params = best_params
 
     # full-graph evaluation on the test split — ONE fused dispatch
@@ -416,6 +444,16 @@ def configure_parser_largescale():
     parser = configure_parser()
     parser.add_argument("--iid-stratified", type=str2bool, default=False)
     parser.add_argument("--times-per-batch", type=int, default=32)
+    parser.add_argument("--checkpoint-every", type=int, default=0,
+                        help="save params+opt+RNG+best every N epochs "
+                             "(atomic; 0 disables)")
+    parser.add_argument("--checkpoint-path", type=str, default="",
+                        help="train-state path (default: "
+                             "<logdir>/train_state.ckpt — pass an "
+                             "explicit path to resume across runs)")
+    parser.add_argument("--resume", type=str2bool, default=False,
+                        help="continue from --checkpoint-path with the "
+                             "exact RNG stream of the uninterrupted run")
     parser.add_argument("--search-lr", type=str, default="",
                         help="comma-separated lr list: train all lr x "
                              "seed trials in ONE vmapped program on "

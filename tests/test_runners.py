@@ -87,3 +87,22 @@ def test_largescale_runner_vmapped_search():
     assert len(res["val_mae_per_trial"]) == 4
     assert {"lr": res["best_lr"], "seed": res["best_seed"]} in res["trials"]
     assert np.isfinite(res["test_mae"])
+
+
+def test_largescale_runner_checkpoint_resume(tmp_path):
+    """Interrupted-then-resumed training reproduces the uninterrupted
+    run exactly (same RNG stream, best-so-far restored)."""
+    from sgp_tpu.exp.run_largescale_sgp import (
+        configure_parser_largescale as configure_parser, run_experiment)
+
+    ck = str(tmp_path / "state.ckpt")
+    full = _run(run_experiment, configure_parser,
+                BASE + ["--epochs", "4"])
+    _run(run_experiment, configure_parser,
+         BASE + ["--epochs", "2", "--checkpoint-every", "1",
+                 "--checkpoint-path", ck])
+    resumed = _run(run_experiment, configure_parser,
+                   BASE + ["--epochs", "4", "--checkpoint-every", "1",
+                           "--checkpoint-path", ck, "--resume", "true"])
+    np.testing.assert_allclose(resumed["test_mae"], full["test_mae"],
+                               rtol=1e-6)
