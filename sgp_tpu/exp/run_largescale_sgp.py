@@ -397,19 +397,42 @@ def run_experiment_stratified(args):
         nodes_per_time=nodes_per_time,
         scale_target=args.scale_target, steps_per_call=batches_epoch)
 
+    from sgp_tpu.train.checkpoint import (check_model_config, model_config,
+                                          load_train_state,
+                                          save_train_state)
+    ckpt_every = getattr(args, "checkpoint_every", 0)
+    ckpt_path = getattr(args, "checkpoint_path", "") \
+        or f"{args.logdir}/train_state.ckpt"
+    start_epoch, best_loss, best_params = 0, np.inf, params
+    if getattr(args, "resume", False) and os.path.exists(ckpt_path):
+        params, opt_state, key, extra = load_train_state(
+            ckpt_path, params, opt_state)
+        check_model_config(extra["model_config"], model)
+        start_epoch = extra["epoch"] + 1
+        best_loss = extra["best_loss"]
+        best_params, _, _, _ = load_train_state(ckpt_path + ".best",
+                                                params)
+        logger.info(f"resumed from {ckpt_path} at epoch {start_epoch} "
+                    f"(best_loss={best_loss:.4f})")
+
     t0 = time.time()
-    best_loss, best_params = np.inf, params
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         key, k = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, k)
         loss = float(loss)
         if loss < best_loss:
             best_loss, best_params = loss, params
         if epoch % max(1, args.epochs // 20) == 0:
-            bps = batches_epoch * (epoch + 1) / max(time.time() - t0,
-                                                    1e-9)
+            bps = (batches_epoch * (epoch + 1 - start_epoch)
+                   / max(time.time() - t0, 1e-9))
             logger.info(f"epoch {epoch}: train_mae={loss:.4f} "
                         f"({bps:.1f} batch/s)")
+        if ckpt_every and (epoch + 1) % ckpt_every == 0:
+            save_train_state(ckpt_path, params, opt_state, key,
+                             extra={"epoch": epoch,
+                                    "best_loss": best_loss,
+                                    "model_config": model_config(model)})
+            save_train_state(ckpt_path + ".best", best_params)
     train_time = time.time() - t0
     logger.info(f"train done in {train_time:.1f}s")
 

@@ -106,3 +106,20 @@ def test_largescale_runner_checkpoint_resume(tmp_path):
                            "--checkpoint-path", ck, "--resume", "true"])
     np.testing.assert_allclose(resumed["test_mae"], full["test_mae"],
                                rtol=1e-6)
+
+
+def test_stratified_runner_checkpoint_resume(tmp_path):
+    from sgp_tpu.exp.run_largescale_sgp import (
+        configure_parser_largescale as configure_parser, run_experiment)
+
+    ck = str(tmp_path / "state.ckpt")
+    base = BASE + ["--iid-stratified", "true"]
+    full = _run(run_experiment, configure_parser, base + ["--epochs", "4"])
+    _run(run_experiment, configure_parser,
+         base + ["--epochs", "2", "--checkpoint-every", "1",
+                 "--checkpoint-path", ck])
+    resumed = _run(run_experiment, configure_parser,
+                   base + ["--epochs", "4", "--checkpoint-every", "1",
+                           "--checkpoint-path", ck, "--resume", "true"])
+    np.testing.assert_allclose(resumed["test_mae"], full["test_mae"],
+                               rtol=1e-6)
