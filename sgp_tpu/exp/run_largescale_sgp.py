@@ -132,6 +132,11 @@ def run_experiment(args):
 
     if getattr(args, "search_lr", None) or getattr(args, "search_seeds",
                                                    None):
+        if getattr(args, "checkpoint_every", 0) or getattr(args, "resume",
+                                                           False):
+            raise ValueError(
+                "--checkpoint-every/--resume are not supported with the "
+                "vmapped --search-lr/--search-seeds path")
         return _run_multi_trial(args, ds, split, model, enc, tgt, mask,
                                 valid, h_off, u, packed,
                                 streaming_packed, x_size, u_size)
@@ -156,24 +161,57 @@ def run_experiment(args):
         # streaming path ``packed`` IS the prebuilt packed array.
         packed=packed)
 
-    # restartable training (SURVEY §5.3): params + opt state + RNG +
-    # best-so-far serialized atomically every --checkpoint-every epochs;
-    # --resume continues the EXACT run (same RNG stream as uninterrupted)
-    from sgp_tpu.train.checkpoint import (check_model_config, model_config,
-                                          load_train_state,
-                                          save_train_state)
+    params, key, fit_state = _run_restartable_fit(
+        args, model, step, params, opt_state, key, batches_epoch)
+
+    # full-graph evaluation on the test split — ONE fused dispatch
+    # (device-resident encodings never round-trip to host)
+    from sgp_tpu.train.fused_window import make_fused_eval
+    metrics = MaskedMetrics.forecasting()
+    infer_bs = args.batch_inference or 16
+    test_eval = make_fused_eval(
+        model, packed if streaming_packed else enc, tgt, mask,
+        ds.indices()[split.test],
+        jnp.asarray(ds.windowing.window_offsets()), h_off,
+        ds.scaler_params(), metrics, u=u, batch_size=infer_bs,
+        # packed rows carry the features first: eval slices them out,
+        # so ONLY the packed array has to live in HBM
+        x_slice=x_size if streaming_packed else None)
+    results = {f"test_{k}": v for k, v in test_eval(params).items()}
+    results["train_time_s"] = fit_state["train_time_s"]
+    logger.info(f"test: {results}")
+    return results
+
+
+def _train_config(args, batches_epoch):
+    """Training hparams recorded in checkpoints and asserted on resume —
+    resuming under different training settings is NOT the exact run the
+    --resume contract promises, so it fails loudly."""
+    return {"lr": args.lr, "batch_size": args.batch_size,
+            "batches_epoch": batches_epoch,
+            "grad_clip_val": args.grad_clip_val, "seed": args.seed,
+            "scale_target": bool(args.scale_target)}
+
+
+def _run_restartable_fit(args, model, step, params, opt_state, key,
+                         batches_epoch):
+    """The shared fused-runner fit loop with restartable checkpoints
+    (SURVEY §5.3): every --checkpoint-every epochs, current params +
+    opt state + RNG + best-so-far + progress go into ONE atomic file;
+    --resume continues the EXACT run (same RNG stream as an
+    uninterrupted run; model/train configs asserted). Returns
+    ``(best_params, key, {"train_time_s": total_incl_pre_resume})``."""
+    from sgp_tpu.train.checkpoint import restore_run_state, save_run_state
+
     ckpt_every = getattr(args, "checkpoint_every", 0)
     ckpt_path = getattr(args, "checkpoint_path", "") \
         or f"{args.logdir}/train_state.ckpt"
-    start_epoch, best_loss, best_params = 0, np.inf, params
+    tc = _train_config(args, batches_epoch)
+    start_epoch, best_loss, best_params, elapsed = 0, np.inf, params, 0.0
     if getattr(args, "resume", False) and os.path.exists(ckpt_path):
-        params, opt_state, key, extra = load_train_state(
-            ckpt_path, params, opt_state)
-        check_model_config(extra["model_config"], model)
-        start_epoch = extra["epoch"] + 1
-        best_loss = extra["best_loss"]
-        best_params, _, _, _ = load_train_state(
-            ckpt_path + ".best", params)
+        (params, opt_state, key, start_epoch, best_loss, best_params,
+         elapsed) = restore_run_state(ckpt_path, model, params,
+                                      opt_state, train_config=tc)
         logger.info(f"resumed from {ckpt_path} at epoch {start_epoch} "
                     f"(best_loss={best_loss:.4f})")
 
@@ -190,30 +228,13 @@ def run_experiment(args):
             logger.info(f"epoch {epoch}: train_mae={loss:.4f} "
                         f"({bps:.1f} batch/s)")
         if ckpt_every and (epoch + 1) % ckpt_every == 0:
-            save_train_state(ckpt_path, params, opt_state, key,
-                             extra={"epoch": epoch,
-                                    "best_loss": best_loss,
-                                    "model_config": model_config(model)})
-            save_train_state(ckpt_path + ".best", best_params)
-    params = best_params
-
-    # full-graph evaluation on the test split — ONE fused dispatch
-    # (device-resident encodings never round-trip to host)
-    from sgp_tpu.train.fused_window import make_fused_eval
-    metrics = MaskedMetrics.forecasting()
-    infer_bs = args.batch_inference or 16
-    test_eval = make_fused_eval(
-        model, packed if streaming_packed else enc, tgt, mask,
-        ds.indices()[split.test],
-        jnp.asarray(ds.windowing.window_offsets()), h_off,
-        ds.scaler_params(), metrics, u=u, batch_size=infer_bs,
-        # packed rows carry the features first: eval slices them out,
-        # so ONLY the packed array has to live in HBM
-        x_slice=x_size if streaming_packed else None)
-    results = {f"test_{k}": v for k, v in test_eval(params).items()}
-    results["train_time_s"] = time.time() - t0
-    logger.info(f"test: {results}")
-    return results
+            save_run_state(ckpt_path, model, params, opt_state, key,
+                           epoch, best_loss, best_params,
+                           elapsed_s=elapsed + time.time() - t0,
+                           train_config=tc)
+    return best_params, key, {
+        "train_time_s": elapsed + time.time() - t0,
+        "best_loss": best_loss}
 
 
 def _run_multi_trial(args, ds, split, model, enc, tgt, mask, valid,
@@ -310,6 +331,11 @@ def run_experiment_stratified(args):
     (``make_fused_iid_stratified_step``) — the full (k+1)x expansion is
     never materialized, so series too long for the precompute path train
     on one chip."""
+    if getattr(args, "search_lr", None) or getattr(args, "search_seeds",
+                                                   None):
+        raise ValueError("--search-lr/--search-seeds are not supported "
+                         "with --iid-stratified (the vmapped trial "
+                         "search runs on the precompute path)")
     from sgp_tpu.data.sgp_loader import build_support_operators
     from sgp_tpu.encode import Reservoir
     from sgp_tpu.exp.common import dataset_kwargs
@@ -397,43 +423,10 @@ def run_experiment_stratified(args):
         nodes_per_time=nodes_per_time,
         scale_target=args.scale_target, steps_per_call=batches_epoch)
 
-    from sgp_tpu.train.checkpoint import (check_model_config, model_config,
-                                          load_train_state,
-                                          save_train_state)
-    ckpt_every = getattr(args, "checkpoint_every", 0)
-    ckpt_path = getattr(args, "checkpoint_path", "") \
-        or f"{args.logdir}/train_state.ckpt"
-    start_epoch, best_loss, best_params = 0, np.inf, params
-    if getattr(args, "resume", False) and os.path.exists(ckpt_path):
-        params, opt_state, key, extra = load_train_state(
-            ckpt_path, params, opt_state)
-        check_model_config(extra["model_config"], model)
-        start_epoch = extra["epoch"] + 1
-        best_loss = extra["best_loss"]
-        best_params, _, _, _ = load_train_state(ckpt_path + ".best",
-                                                params)
-        logger.info(f"resumed from {ckpt_path} at epoch {start_epoch} "
-                    f"(best_loss={best_loss:.4f})")
-
-    t0 = time.time()
-    for epoch in range(start_epoch, args.epochs):
-        key, k = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, k)
-        loss = float(loss)
-        if loss < best_loss:
-            best_loss, best_params = loss, params
-        if epoch % max(1, args.epochs // 20) == 0:
-            bps = (batches_epoch * (epoch + 1 - start_epoch)
-                   / max(time.time() - t0, 1e-9))
-            logger.info(f"epoch {epoch}: train_mae={loss:.4f} "
-                        f"({bps:.1f} batch/s)")
-        if ckpt_every and (epoch + 1) % ckpt_every == 0:
-            save_train_state(ckpt_path, params, opt_state, key,
-                             extra={"epoch": epoch,
-                                    "best_loss": best_loss,
-                                    "model_config": model_config(model)})
-            save_train_state(ckpt_path + ".best", best_params)
-    train_time = time.time() - t0
+    best_params, key, fit_state = _run_restartable_fit(
+        args, model, step, params, opt_state, key, batches_epoch)
+    best_loss, train_time = fit_state["best_loss"], \
+        fit_state["train_time_s"]
     logger.info(f"train done in {train_time:.1f}s")
 
     # full-graph test evaluation: the reservoir embedding is the model

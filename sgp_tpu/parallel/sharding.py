@@ -343,10 +343,9 @@ def make_sharded_iid_eval(model, encoded, target, mask, item_starts,
     already node-sharded by ``shard_nodes`` (or ``make_sharded_iid_step``)
     are reused in place.
     """
-    import numpy as np
-
     from jax import shard_map
     from sgp_tpu.parallel.halo import shard_nodes
+    from sgp_tpu.train.fused_window import pad_eval_items
 
     n_shards = mesh.shape[axis]
     n_nodes = encoded.shape[1]
@@ -362,16 +361,7 @@ def make_sharded_iid_eval(model, encoded, target, mask, item_starts,
     elif has_u:
         u = jax.device_put(u, NamedSharding(mesh, P()))
 
-    item_starts = np.asarray(item_starts)
-    s = len(item_starts)
-    n_batches = -(-s // batch_size)
-    pad = n_batches * batch_size - s
-    starts = np.concatenate(
-        [item_starts, np.full(pad, item_starts[0] if s else 0,
-                              item_starts.dtype)])
-    ok_flags = np.concatenate([np.ones(s, bool), np.zeros(pad, bool)])
-    starts = jnp.asarray(starts).reshape(n_batches, batch_size)
-    ok_flags = jnp.asarray(ok_flags).reshape(n_batches, batch_size)
+    starts, ok_flags = pad_eval_items(item_starts, batch_size)
 
     node_spec = P(None, axis, None)
     repl = P()
@@ -422,6 +412,7 @@ def make_sharded_iid_eval(model, encoded, target, mask, item_starts,
 
     eval_fn.core = jitted
     eval_fn.data = data
+    eval_fn.metrics = metrics
     return eval_fn
 
 

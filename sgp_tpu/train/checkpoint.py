@@ -59,6 +59,49 @@ def save_train_state(path: str, params: Any, opt_state: Any = None,
     os.replace(tmp, path)  # atomic — a crash mid-write keeps the old ckpt
 
 
+def save_run_state(path: str, model, params, opt_state, rng,
+                   epoch: int, best_loss: float, best_params,
+                   elapsed_s: float = 0.0,
+                   train_config: Optional[Dict] = None):
+    """One ATOMIC file for a restartable runner epoch: current
+    params/opt/RNG plus the best-so-far params and progress — a kill
+    can never leave 'current' and 'best' out of sync (they live in the
+    same ``os.replace``). ``train_config`` records the training
+    hyperparameters (lr, batch size, ...) so a resume under different
+    training settings fails loudly instead of silently breaking the
+    exact-run semantics."""
+    save_train_state(path, params, opt_state, rng, extra={
+        "epoch": epoch, "best_loss": float(best_loss),
+        "model_config": model_config(model),
+        "train_config": train_config or {},
+        "best_params": flax.serialization.to_bytes(best_params),
+        "elapsed_s": float(elapsed_s)})
+
+
+def restore_run_state(path: str, model, params_template,
+                      opt_state_template,
+                      train_config: Optional[Dict] = None):
+    """Counterpart of :func:`save_run_state`. Returns ``(params,
+    opt_state, rng, start_epoch, best_loss, best_params, elapsed_s)``;
+    raises on a model- or train-config mismatch."""
+    params, opt_state, rng, extra = load_train_state(
+        path, params_template, opt_state_template)
+    check_model_config(extra["model_config"], model)
+    stored_tc = extra.get("train_config", {})
+    if train_config:
+        mismatched = {k: (stored_tc.get(k), v)
+                      for k, v in train_config.items()
+                      if stored_tc.get(k) != v}
+        if mismatched:
+            raise ValueError(
+                "checkpoint train config mismatch (stored vs live): "
+                f"{mismatched}")
+    best_params = flax.serialization.from_bytes(params_template,
+                                                extra["best_params"])
+    return (params, opt_state, rng, extra["epoch"] + 1,
+            extra["best_loss"], best_params, extra.get("elapsed_s", 0.0))
+
+
 def load_train_state(path: str, params_template: Any,
                      opt_state_template: Any = None):
     with open(path, "rb") as fp:

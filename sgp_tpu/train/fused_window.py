@@ -105,6 +105,23 @@ def make_fused_window_step(model, optimizer,
     return step
 
 
+def pad_eval_items(item_starts, batch_size: int):
+    """Pad eval window starts to a multiple of ``batch_size`` and
+    return ``(starts [n_batches, B], valid [n_batches, B])``; padded
+    slots carry ``valid=False`` and drop out of every metric's mask.
+    Shared by the single-device and node-sharded fused evals."""
+    item_starts = np.asarray(item_starts)
+    s = len(item_starts)
+    n_batches = -(-s // batch_size)
+    pad = n_batches * batch_size - s
+    starts = np.concatenate(
+        [item_starts, np.full(pad, item_starts[0] if s else 0,
+                              item_starts.dtype)])
+    valid = np.concatenate([np.ones(s, bool), np.zeros(pad, bool)])
+    return (jnp.asarray(starts).reshape(n_batches, batch_size),
+            jnp.asarray(valid).reshape(n_batches, batch_size))
+
+
 def make_fused_eval(model, x_full, target, mask,
                     item_starts, window_offsets, horizon_offsets,
                     scaler: ScalerParams, metrics: MaskedMetrics,
@@ -125,16 +142,7 @@ def make_fused_eval(model, x_full, target, mask,
     ``model.apply(params, x, u=u, training=False)`` for models that need
     extra operands (graph operators etc.).
     """
-    item_starts = np.asarray(item_starts)
-    s = len(item_starts)
-    n_batches = -(-s // batch_size)
-    pad = n_batches * batch_size - s
-    starts = np.concatenate(
-        [item_starts, np.full(pad, item_starts[0] if s else 0,
-                              item_starts.dtype)])
-    valid = np.concatenate([np.ones(s, bool), np.zeros(pad, bool)])
-    starts = jnp.asarray(starts).reshape(n_batches, batch_size)
-    valid = jnp.asarray(valid).reshape(n_batches, batch_size)
+    starts, valid = pad_eval_items(item_starts, batch_size)
     has_u = u is not None
     data = (x_full, target, mask, starts, valid,
             jnp.asarray(window_offsets), jnp.asarray(horizon_offsets)) \
@@ -185,4 +193,5 @@ def make_fused_eval(model, x_full, target, mask,
 
     eval_fn.core = _eval
     eval_fn.data = data
+    eval_fn.metrics = metrics   # for stacked multi-trial evaluation
     return eval_fn

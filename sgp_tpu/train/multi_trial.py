@@ -116,12 +116,16 @@ def make_fused_iid_multi_trial_step(model,
 def eval_trials(eval_fn, params_stack):
     """Evaluate all K trials through a ``make_fused_eval`` callable in
     ONE program: vmap its jitted core over the stacked params (the
-    window gathers don't depend on params — computed once). Returns
+    window gathers don't depend on params — computed once). Per-trial
+    metrics come from the suite's own ``compute`` so the reduction can
+    never diverge from single-trial evaluation. Returns
     ``{metric: np.ndarray[K]}``."""
     states = jax.jit(jax.vmap(eval_fn.core, in_axes=(0, None)))(
         params_stack, eval_fn.data)
-    return {name: np.asarray(v) / np.maximum(np.asarray(n), 1e-12)
-            for name, (v, n) in states.items()}
+    k = jax.tree_util.tree_leaves(states)[0].shape[0]
+    per = [eval_fn.metrics.compute(take_trial(states, i))
+           for i in range(k)]
+    return {name: np.asarray([p[name] for p in per]) for name in per[0]}
 
 
 def best_trial(metrics_per_trial: dict, monitor: str = "mae",

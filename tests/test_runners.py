@@ -123,3 +123,28 @@ def test_stratified_runner_checkpoint_resume(tmp_path):
                            "--checkpoint-path", ck, "--resume", "true"])
     np.testing.assert_allclose(resumed["test_mae"], full["test_mae"],
                                rtol=1e-6)
+
+
+def test_resume_guards(tmp_path):
+    """Resuming under different training hparams, or combining the
+    vmapped search with checkpointing/stratified, fails loudly."""
+    import pytest
+
+    from sgp_tpu.exp.run_largescale_sgp import (
+        configure_parser_largescale as configure_parser, run_experiment)
+
+    ck = str(tmp_path / "s.ckpt")
+    _run(run_experiment, configure_parser,
+         BASE + ["--epochs", "1", "--checkpoint-every", "1",
+                 "--checkpoint-path", ck])
+    with pytest.raises(ValueError, match="train config mismatch"):
+        _run(run_experiment, configure_parser,
+             BASE + ["--epochs", "2", "--checkpoint-every", "1",
+                     "--checkpoint-path", ck, "--resume", "true",
+                     "--lr", "0.01"])
+    with pytest.raises(ValueError, match="not supported"):
+        _run(run_experiment, configure_parser,
+             BASE + ["--search-lr", "0.01", "--checkpoint-every", "1"])
+    with pytest.raises(ValueError, match="not supported"):
+        _run(run_experiment, configure_parser,
+             BASE + ["--search-lr", "0.01", "--iid-stratified", "true"])
