@@ -7,6 +7,11 @@ them (``n_workers > 1`` runs trials concurrently, the analog of
 test_tube's worker pool — use workers only for CPU runs; the single
 remote TPU must be serialized), swallow per-trial runtime errors
 (``:63-73``), and report the best trial by a monitored metric.
+
+For lr/seed spaces on the fused IID path, prefer the ON-DEVICE vmapped
+search (``sgp_tpu/train/multi_trial.py``; ``--search-lr/--search-seeds``
+on ``run_largescale_sgp``): all trials train in one XLA program on
+shared batches — no per-trial process, compile, or TPU serialization.
 """
 from __future__ import annotations
 
