@@ -220,6 +220,166 @@ def make_sharded_iid_step(model, optimizer, encoded, target, mask,
     return step
 
 
+def make_sharded_iid_stratified_step(model, optimizer, h_temporal,
+                                     target, mask, valid_starts,
+                                     horizon_offsets, scaler,
+                                     support_ops, mesh: Mesh,
+                                     global_attr: bool = True, u=None,
+                                     times_per_batch: int = 32,
+                                     nodes_per_time: int = 128,
+                                     loss: str = "mae",
+                                     scale_target: bool = False,
+                                     steps_per_call: int = 1,
+                                     axis: str = "data"):
+    """Multi-chip **beyond-HBM** stratified IID training — composes the
+    two scalability axes: series too long for one chip's HBM (only the
+    reservoir embedding resident, spatial propagation on the fly —
+    ``train.iid.make_fused_iid_stratified_step``) AND node-sharded
+    memory (each device holds ``1/n`` of the resident ``[T, N, Ht]``
+    embedding/target/mask).
+
+    Per step all devices draw the SAME ``times_per_batch`` window
+    starts (shared RNG stream), all-gather only those ``Tb`` time rows
+    (``Tb·N·Ht`` bytes over ICI — tiny next to the resident array), and
+    each device gather-SpMMs ``nodes_per_time / n`` nodes sampled from
+    ITS shard (jointly uniform, per-device ``fold_in`` streams);
+    loss numerator/denominator and gradients psum. Dense support
+    operators stay replicated (``[N, N]`` ≪ the embedding).
+    """
+    import optax
+
+    from jax import shard_map
+    from sgp_tpu.ops.spmm import DenseOperator
+    from sgp_tpu.parallel.halo import shard_nodes
+    from sgp_tpu.train.iid import take_time_rows
+    from sgp_tpu.train.metrics import _METRIC_FNS, _masked_reduce
+
+    n_shards = mesh.shape[axis]
+    assert nodes_per_time % n_shards == 0, \
+        f"nodes_per_time {nodes_per_time} % {n_shards} != 0"
+    p_local = nodes_per_time // n_shards
+    loss_pt = _METRIC_FNS[loss]
+    n_nodes = h_temporal.shape[1]
+    n_local = -(-n_nodes // n_shards)
+    batch_local = times_per_batch * p_local
+    has_u = u is not None
+    u_node = has_u and u.ndim == 3
+
+    h_temporal = shard_nodes(h_temporal, mesh, axis, node_axis=1)
+    target = shard_nodes(target, mesh, axis, node_axis=1)
+    mask = shard_nodes(mask, mesh, axis, node_axis=1)   # pads -> False
+    if u_node:
+        u = shard_nodes(u, mesh, axis, node_axis=1)
+    elif has_u:
+        u = jax.device_put(u, NamedSharding(mesh, P()))
+    repl = P()
+    node_spec = P(None, axis, None)
+    ops = tuple(support_ops)
+    data = (h_temporal, target, mask, jnp.asarray(valid_starts),
+            jnp.asarray(horizon_offsets), jax.tree.map(
+                lambda a: jax.device_put(a, NamedSharding(mesh, repl)),
+                ops)) + ((u,) if has_u else ())
+    data_specs = (node_spec, node_spec, node_spec, repl, repl, repl) \
+        + (((node_spec if u_node else repl),) if has_u else ())
+
+    def local_loss(params, rng, data):
+        ht, tgt, msk, valid, h_off = data[:5]
+        ops_d = data[5]
+        shard_id = jax.lax.axis_index(axis)
+        rng_t, rng_n, rng_d = jax.random.split(rng, 3)
+        # times SHARED across devices (no fold_in): every device
+        # propagates the same Tb gathered time rows
+        t = jax.random.choice(rng_t, valid, (times_per_batch,))
+        h_loc = take_time_rows(ht, t)            # [Tb, Nl, Ht]
+        # ICI exchange: ONLY the selected rows, Tb*N*Ht bytes
+        h_sel = jax.lax.all_gather(h_loc, axis, axis=1, tiled=True)
+        h_sel = h_sel[:, :n_nodes]               # drop node padding
+        # nodes: per-device stream over the LOCAL shard
+        rng_n = jax.random.fold_in(rng_n, shard_id)
+        rng_d = jax.random.fold_in(rng_d, shard_id)
+        n_loc = jax.random.randint(rng_n, (times_per_batch, p_local),
+                                   0, n_local)
+        n_glob = shard_id * n_local + n_loc
+        h_smp = jnp.take_along_axis(h_loc, n_loc[:, :, None], axis=1)
+        parts = [h_smp]                          # [Tb, Pl, Ht]
+        for op in ops_d:
+            if isinstance(op, DenseOperator):
+                rows = op.mat[n_glob]            # [Tb, Pl, N]
+                hop = jnp.einsum("tpn,tnf->tpf", rows, h_sel,
+                                 precision=op.precision,
+                                 preferred_element_type=jnp.float32
+                                 ).astype(h_sel.dtype)
+            else:
+                hop = jnp.take_along_axis(op @ h_sel,
+                                          n_glob[:, :, None], axis=1)
+            parts.append(hop)
+        if global_attr:
+            parts.append(jnp.broadcast_to(
+                h_sel.mean(-2, keepdims=True), h_smp.shape))
+        x = jnp.concatenate(parts, -1).reshape(batch_local, -1)
+        n_h = h_off.shape[0]
+
+        def gather_tn(arr):                      # arr node-LOCAL
+            steps = (t[:, None] + h_off[None, :]).reshape(-1)
+            rows = take_time_rows(arr, steps).reshape(
+                (times_per_batch, n_h) + arr.shape[1:])
+            sel = jnp.take_along_axis(
+                rows, n_loc[:, None, :, None], axis=2)
+            return sel.transpose(0, 2, 1, 3).reshape(
+                batch_local, n_h, arr.shape[-1])
+
+        y = gather_tn(tgt)
+        m = gather_tn(msk)
+        n_flat = n_glob.reshape(-1)
+        kwargs = {}
+        if has_u:
+            u_arr = data[-1]
+            if u_node:
+                rows = take_time_rows(u_arr, t)
+                kwargs["u"] = jnp.take_along_axis(
+                    rows, n_loc[:, :, None], axis=1).reshape(
+                        batch_local, u_arr.shape[-1])
+            else:
+                kwargs["u"] = take_time_rows(
+                    u_arr, jnp.repeat(t, p_local))
+        sc = scaler.index_nodes_iid(n_flat)
+        y_hat = model.apply(params, x, node_index=n_flat, training=True,
+                            iid=True, rngs={"dropout": rng_d}, **kwargs)
+        if scale_target:
+            y_ref = sc.transform(y)
+        else:
+            y_hat = sc.inverse_transform(y_hat)
+            y_ref = y
+        v, cnt = _masked_reduce(loss_pt, y_hat, y_ref, m)
+        v = jax.lax.psum(v, axis)
+        cnt = jax.lax.psum(cnt, axis)
+        return v / jnp.maximum(cnt, 1.0)
+
+    def local_step(params, opt_state, rng, data):
+        def body(carry, key):
+            p, s = carry
+            loss_val, grads = jax.value_and_grad(local_loss)(p, key, data)
+            grads = jax.lax.psum(grads, axis)
+            updates, s = optimizer.update(grads, s, p)
+            return (optax.apply_updates(p, updates), s), loss_val
+        keys = jax.random.split(rng, max(steps_per_call, 1))
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), keys)
+        return params, opt_state, losses.mean()
+
+    sharded = shard_map(local_step, mesh=mesh,
+                        in_specs=(repl, repl, repl, data_specs),
+                        out_specs=(repl, repl, repl), check_vma=False)
+    jitted = jax.jit(sharded)
+
+    def step(params, opt_state, rng):
+        return jitted(params, opt_state, rng, data)
+
+    step.data = data
+    step.n_local = n_local
+    return step
+
+
 def make_sharded_window_step(model, optimizer, x_full, target, mask,
                              item_starts, window_offsets, horizon_offsets,
                              scaler, mesh: Mesh, u=None, support_ops=None,

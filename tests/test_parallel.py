@@ -433,3 +433,99 @@ def test_sharded_window_step_matches_single_device_emulation(rng):
         # regardless of the noise size, so compare at the lr scale
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=3e-4)
+
+
+def test_sharded_stratified_step_matches_emulation(rng):
+    """Multi-chip beyond-HBM trainer: node-sharded resident embedding
+    (1/n per device asserted), shared sampled times, per-shard node
+    streams — sharded loss AND updated params equal the single-device
+    emulation."""
+    import optax
+
+    from sgp_tpu.data import ScalerParams
+    from sgp_tpu.models import SGPModel
+    from sgp_tpu.parallel import make_sharded_iid_stratified_step
+    from sgp_tpu.train.iid import take_time_rows
+    from sgp_tpu.train.metrics import _METRIC_FNS, _masked_reduce
+
+    mesh = make_mesh(8, 1)
+    t, n, ht, h = 50, 16, 8, 2
+    n_shards, tb, p_local = 8, 4, 2
+    n_local = n // n_shards
+    g = graph(rng, n)
+    op = build_operator(g, "dense")
+    h_temp = jnp.asarray(rng.standard_normal((t, n, ht)).astype(np.float32))
+    tgt = jnp.asarray(rng.standard_normal((t, n, 1)).astype(np.float32))
+    msk = jnp.asarray(rng.random((t, n, 1)) > 0.1)
+    valid = jnp.arange(t - h - 1)
+    h_off = 1 + jnp.arange(h)
+    scaler = ScalerParams(jnp.zeros(1), jnp.ones(1))
+    d_total = ht * 3                       # self + 1 op + global mean
+    model = SGPModel(input_size=d_total, order=3, n_nodes=n,
+                     hidden_size=12, mlp_size=8, output_size=1,
+                     n_layers=1, horizon=h, positional_encoding=True)
+    key0 = jax.random.PRNGKey(5)
+    params = model.init({"params": key0, "dropout": key0},
+                        jnp.zeros((4, d_total)),
+                        node_index=jnp.zeros(4, jnp.int32), iid=True)
+    opt = optax.adam(1e-3)
+    step = make_sharded_iid_stratified_step(
+        model, opt, h_temp, tgt, msk, valid, h_off, scaler, [op], mesh,
+        global_attr=True, times_per_batch=tb,
+        nodes_per_time=n_shards * p_local)
+    hs = step.data[0]
+    assert hs.addressable_shards[0].data.nbytes * 8 == hs.nbytes
+    key = jax.random.PRNGKey(77)
+    with mesh:
+        p_sh, _, loss_sh = step(params, opt.init(params), key)
+    loss_sh = float(loss_sh)
+
+    def emulated_loss(p):
+        k0 = jax.random.split(key, 1)[0]
+        rng_t, rng_n, rng_d = jax.random.split(k0, 3)
+        ts = jax.random.choice(rng_t, valid, (tb,))
+        h_sel = take_time_rows(h_temp, ts)            # [Tb, N, Ht]
+        total_v, total_c = 0.0, 0.0
+        for sid in range(n_shards):
+            rn = jax.random.fold_in(rng_n, sid)
+            rd = jax.random.fold_in(rng_d, sid)
+            n_loc = jax.random.randint(rn, (tb, p_local), 0, n_local)
+            n_glob = sid * n_local + n_loc
+            h_smp = jnp.take_along_axis(h_sel, n_glob[:, :, None], axis=1)
+            rows = op.mat[n_glob]
+            hop = jnp.einsum("tpn,tnf->tpf", rows, h_sel,
+                             precision=op.precision,
+                             preferred_element_type=jnp.float32
+                             ).astype(h_sel.dtype)
+            gmean = jnp.broadcast_to(h_sel.mean(-2, keepdims=True),
+                                     h_smp.shape)
+            x = jnp.concatenate([h_smp, hop, gmean], -1).reshape(
+                tb * p_local, -1)
+            steps = (ts[:, None] + h_off[None, :]).reshape(-1)
+
+            def gather_tn(arr):
+                rows_ = take_time_rows(arr, steps).reshape(
+                    (tb, h) + arr.shape[1:])
+                sel = jnp.take_along_axis(
+                    rows_, n_glob[:, None, :, None], axis=2)
+                return sel.transpose(0, 2, 1, 3).reshape(
+                    tb * p_local, h, arr.shape[-1])
+
+            y = gather_tn(tgt)
+            m = gather_tn(msk)
+            n_flat = n_glob.reshape(-1)
+            y_hat = model.apply(p, x, node_index=n_flat, training=True,
+                                iid=True, rngs={"dropout": rd})
+            v, c = _masked_reduce(_METRIC_FNS["mae"], y_hat, y, m)
+            total_v = total_v + v
+            total_c = total_c + c
+        return total_v / jnp.maximum(total_c, 1.0)
+
+    loss_em, grads = jax.value_and_grad(emulated_loss)(params)
+    np.testing.assert_allclose(loss_sh, float(loss_em), rtol=1e-5)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    p_em = optax.apply_updates(params, updates)
+    for a, b in zip(jax.tree_util.tree_leaves(p_sh),
+                    jax.tree_util.tree_leaves(p_em)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=3e-4)
