@@ -137,6 +137,9 @@ def run_experiment(args):
             raise ValueError(
                 "--checkpoint-every/--resume are not supported with the "
                 "vmapped --search-lr/--search-seeds path")
+        if getattr(args, "data_sharding", "none") != "none":
+            raise ValueError("--data-sharding is not supported with the "
+                             "vmapped --search-lr/--search-seeds path")
         return _run_multi_trial(args, ds, split, model, enc, tgt, mask,
                                 valid, h_off, u, packed,
                                 streaming_packed, x_size, u_size)
@@ -152,33 +155,63 @@ def run_experiment(args):
     opt_state = optimizer.init(params)
 
     batches_epoch = args.batches_epoch if args.batches_epoch > 0 else 32
-    step = make_fused_iid_multi_step(
-        model, optimizer, enc, tgt, mask, valid, h_off,
-        ds.scaler_params(), u=u, batch_size=args.batch_size,
-        scale_target=args.scale_target, steps_per_call=batches_epoch,
-        # one wide row gather per sample instead of separate scalar
-        # target/mask gathers: +74% step throughput on TPU. In the
-        # streaming path ``packed`` IS the prebuilt packed array.
-        packed=packed)
+    data_sharding = getattr(args, "data_sharding", "none")
+    metrics = MaskedMetrics.forecasting()
+    infer_bs = args.batch_inference or 16
+    w_off = jnp.asarray(ds.windowing.window_offsets())
+    if data_sharding == "nodes":
+        # multi-chip as a config change: node-sharded memory for the
+        # big arrays (1/n per device), per-shard sampling + psum grads,
+        # node-sharded fused eval — see sgp_tpu/parallel/sharding.py
+        from sgp_tpu.parallel import (make_mesh, make_sharded_iid_eval,
+                                      make_sharded_iid_step)
+        n_dev = len(jax.devices())
+        mesh = make_mesh(n_dev, 1)
+        logger.info(f"data-sharding=nodes over {n_dev} devices")
+        step = make_sharded_iid_step(
+            model, optimizer, enc, tgt, mask, valid, h_off,
+            ds.scaler_params(), mesh, u=u, batch_size=args.batch_size,
+            scale_target=args.scale_target, steps_per_call=batches_epoch,
+            packed=packed)
+
+        def test_eval_fn(p):
+            ev = make_sharded_iid_eval(
+                model, packed if streaming_packed else enc, tgt, mask,
+                ds.indices()[split.test], w_off, h_off,
+                ds.scaler_params(), metrics, mesh, u=u,
+                batch_size=infer_bs,
+                x_slice=x_size if streaming_packed else None)
+            return ev(p)
+    else:
+        step = make_fused_iid_multi_step(
+            model, optimizer, enc, tgt, mask, valid, h_off,
+            ds.scaler_params(), u=u, batch_size=args.batch_size,
+            scale_target=args.scale_target, steps_per_call=batches_epoch,
+            # one wide row gather per sample instead of separate scalar
+            # target/mask gathers: +74% step throughput on TPU. In the
+            # streaming path ``packed`` IS the prebuilt packed array.
+            packed=packed)
+
+        def test_eval_fn(p):
+            # full-graph evaluation on the test split — ONE fused
+            # dispatch (device-resident encodings never round-trip)
+            from sgp_tpu.train.fused_window import make_fused_eval
+            ev = make_fused_eval(
+                model, packed if streaming_packed else enc, tgt, mask,
+                ds.indices()[split.test], w_off, h_off,
+                ds.scaler_params(), metrics, u=u, batch_size=infer_bs,
+                # packed rows carry the features first: eval slices
+                # them out, so ONLY the packed array lives in HBM
+                x_slice=x_size if streaming_packed else None)
+            return ev(p)
 
     params, key, fit_state = _run_restartable_fit(
         args, model, step, params, opt_state, key, batches_epoch)
 
-    # full-graph evaluation on the test split — ONE fused dispatch
-    # (device-resident encodings never round-trip to host)
-    from sgp_tpu.train.fused_window import make_fused_eval
-    metrics = MaskedMetrics.forecasting()
-    infer_bs = args.batch_inference or 16
-    test_eval = make_fused_eval(
-        model, packed if streaming_packed else enc, tgt, mask,
-        ds.indices()[split.test],
-        jnp.asarray(ds.windowing.window_offsets()), h_off,
-        ds.scaler_params(), metrics, u=u, batch_size=infer_bs,
-        # packed rows carry the features first: eval slices them out,
-        # so ONLY the packed array has to live in HBM
-        x_slice=x_size if streaming_packed else None)
-    results = {f"test_{k}": v for k, v in test_eval(params).items()}
+    results = {f"test_{k}": v for k, v in test_eval_fn(params).items()}
     results["train_time_s"] = fit_state["train_time_s"]
+    if data_sharding != "none":
+        results["data_sharding"] = data_sharding
     logger.info(f"test: {results}")
     return results
 
@@ -460,6 +493,12 @@ def configure_parser_largescale():
     parser = configure_parser()
     parser.add_argument("--iid-stratified", type=str2bool, default=False)
     parser.add_argument("--times-per-batch", type=int, default=32)
+    parser.add_argument("--data-sharding", type=str, default="none",
+                        choices=("none", "nodes"),
+                        help="'nodes': node-shard the big arrays over "
+                             "all local devices (1/n HBM per chip), "
+                             "per-shard sampling + psum grads, "
+                             "node-sharded fused eval")
     parser.add_argument("--checkpoint-every", type=int, default=0,
                         help="save params+opt+RNG+best every N epochs "
                              "(atomic; 0 disables)")

@@ -119,16 +119,26 @@ def make_sharded_iid_step(model, optimizer, encoded, target, mask,
     assert batch_size % n_shards == 0
     local_bs = batch_size // n_shards
     loss_pt = _METRIC_FNS[loss]
-    n_nodes = encoded.shape[1]
+    n_h = int(jnp.asarray(horizon_offsets).shape[0])
+    n_c = target.shape[-1]
+    prebuilt = None
+    if not isinstance(packed, bool):
+        # prebuilt packed layout (e.g. streaming_encode's output — the
+        # unpacked encoding never existed); shard it directly
+        prebuilt = jnp.asarray(packed)
+        packed = True
+        n_nodes = prebuilt.shape[1]
+        feat = prebuilt.shape[-1] - 3 * n_h * n_c
+    else:
+        packed = packed and _packed_dtype_ok(encoded)
+        n_nodes = encoded.shape[1]
+        feat = encoded.shape[-1]
     n_local = -(-n_nodes // n_shards)
     has_u = u is not None
     u_node = has_u and u.ndim == 3
-    packed = packed and _packed_dtype_ok(encoded)
-    feat = encoded.shape[-1]
-    n_h = int(jnp.asarray(horizon_offsets).shape[0])
-    n_c = target.shape[-1]
 
-    encoded = shard_nodes(encoded, mesh, axis, node_axis=1)
+    if prebuilt is None:
+        encoded = shard_nodes(encoded, mesh, axis, node_axis=1)
     target = shard_nodes(target, mesh, axis, node_axis=1)
     mask = shard_nodes(mask, mesh, axis, node_axis=1)  # pads -> False
     if u_node:
@@ -143,7 +153,9 @@ def make_sharded_iid_step(model, optimizer, encoded, target, mask,
         # act on the replicated time axis and the lane concat on the
         # channel axis, so the packed array inherits the node sharding
         # — still 1/n per device, targets bit-exact via bf16 hi/lo.
-        big = pack_iid_data(encoded, target, mask, horizon_offsets)
+        big = shard_nodes(prebuilt, mesh, axis, node_axis=1) \
+            if prebuilt is not None \
+            else pack_iid_data(encoded, target, mask, horizon_offsets)
         # packed rows already carry the horizon-shifted targets/masks
         data = (big, jnp.asarray(valid_starts)) + ((u,) if has_u else ())
         data_specs = (node_spec, repl) \

@@ -148,3 +148,22 @@ def test_resume_guards(tmp_path):
     with pytest.raises(ValueError, match="not supported"):
         _run(run_experiment, configure_parser,
              BASE + ["--search-lr", "0.01", "--iid-stratified", "true"])
+
+
+def test_largescale_runner_data_sharding_nodes():
+    """--data-sharding nodes runs the node-sharded step + eval over the
+    8-device CPU mesh for BOTH encode paths (streaming-packed prebuilt
+    layout and the unpacked fallback)."""
+    from sgp_tpu.exp.run_largescale_sgp import (
+        configure_parser_largescale as configure_parser, run_experiment)
+
+    r1 = _run(run_experiment, configure_parser,
+              BASE + ["--data-sharding", "nodes"])
+    assert r1["data_sharding"] == "nodes"
+    assert np.isfinite(r1["test_mae"])
+    r2 = _run(run_experiment, configure_parser,
+              BASE + ["--data-sharding", "nodes",
+                      "--packed-gather", "false"])
+    assert np.isfinite(r2["test_mae"])
+    # same data/model family: the two paths land in the same ballpark
+    assert abs(r1["test_mae"] - r2["test_mae"]) < 0.25 * r2["test_mae"]
