@@ -167,3 +167,17 @@ def test_largescale_runner_data_sharding_nodes():
     assert np.isfinite(r2["test_mae"])
     # same data/model family: the two paths land in the same ballpark
     assert abs(r1["test_mae"] - r2["test_mae"]) < 0.25 * r2["test_mae"]
+
+
+def test_largescale_runner_vmapped_search_with_exog():
+    """Vmapped search with node-level exogenous (keep_raw adds the
+    scaled raw series as u): exercises the u plumbing through the
+    stacked init, the shared-batch step and the stacked eval."""
+    from sgp_tpu.exp.run_largescale_sgp import (
+        configure_parser_largescale as configure_parser, run_experiment)
+
+    res = _run(run_experiment, configure_parser,
+               BASE + ["--search-lr", "0.01,0.001",
+                       "--keep-raw", "true"])
+    assert len(res["trials"]) == 2
+    assert np.isfinite(res["test_mae"])
