@@ -377,9 +377,50 @@ def section_probe(gb: int) -> dict:
     return {"probe_ok_gb": gb}
 
 
+def section_serve() -> dict:
+    """Online serving latency at PV-US scale: one
+    ``OnlineForecaster.step`` (reservoir update + K-hop propagation +
+    decoder forecast, ONE dispatch) per new observation; p50/p95 over
+    100 steps with a host sync each (the serving pattern)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sgp_tpu.data import ScalerParams
+    from sgp_tpu.encode import SGPEncoder
+    from sgp_tpu.serve import OnlineForecaster
+
+    out = {}
+    g = _build_graph()
+    enc = SGPEncoder(input_size=1, reservoir_size=16, reservoir_layers=8,
+                     leaking_rate=1.0, spectral_radius=0.99, density=0.7,
+                     alpha_decay=True, receptive_field=2,
+                     global_attr=True, operator_mode="dense")
+    model = _decoder(enc.output_size)
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "dropout": key},
+                        jnp.zeros((1, N_NODES, enc.output_size)))
+    fc = OnlineForecaster(enc, g, model, params,
+                          ScalerParams(jnp.zeros(1), jnp.ones(1)),
+                          precision="default")
+    obs = np.random.default_rng(1).standard_normal(
+        (N_NODES, 1)).astype(np.float32)
+    t0 = time.time()
+    _sync(fc.step(obs))
+    out["serve_compile_s"] = round(time.time() - t0, 2)
+    lats = []
+    for _ in range(100):
+        t0 = time.time()
+        _sync(fc.step(obs))
+        lats.append((time.time() - t0) * 1e3)
+    out["serve_latency_ms_p50"] = round(float(np.percentile(lats, 50)), 2)
+    out["serve_latency_ms_p95"] = round(float(np.percentile(lats, 95)), 2)
+    return out
+
+
 SECTIONS = {
     "headline": section_headline,
     "bsr": section_bsr,
+    "serve": section_serve,
 }
 
 
@@ -488,6 +529,7 @@ def main():
     # min child budget: a BSR pass needs ~2-3 min incl. tunnel init,
     # more when the compile service is in a slow window
     extras.update(_run_child("bsr", max(remaining(), 480)))
+    extras.update(_run_child("serve", max(remaining(), 360)))
 
     batch_s = extras.pop("train_batch_s", 0.0)
     extras["total_bench_wall_s"] = round(time.time() - t_start, 1)

@@ -1,0 +1,103 @@
+"""Online low-latency serving for SGP forecasters.
+
+Production counterpart of the reference's online model
+(``lib/nn/models/sgp_model.py:126-194`` SGPOnlineModel, which computes
+the spatial embedding inside the forward): a STATEFUL forecaster that
+carries the echo-state reservoir across time, so serving a new
+observation is ONE jitted dispatch — reservoir state update + K-hop
+propagation + decoder forecast fused into a single XLA program. On a
+remote TPU the per-step latency is dispatch-bound (~5 ms through the
+tunnel); on-host TPUs it is the program itself.
+
+The online feature assembly is bit-identical to the offline
+``SGPEncoder`` precompute (asserted in ``tests/test_serve.py``), so a
+decoder trained offline serves online without any re-training or
+feature drift.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from sgp_tpu.data.scalers import ScalerParams
+from sgp_tpu.encode.encoders import SGPEncoder, build_streaming_ops
+from sgp_tpu.graph import Graph
+
+
+class OnlineForecaster:
+    """Stateful one-dispatch-per-step forecaster.
+
+    Args:
+        encoder: the (training-free) :class:`SGPEncoder` used offline.
+        graph: the sensor graph (operators prebuilt once, on device).
+        model: the trained decoder (e.g. :class:`SGPModel`); applied in
+            full-graph mode on the assembled ``[1, N, D]`` features.
+        params: trained decoder params.
+        scaler: the dataset scaler — raw observations are transformed
+            on device and forecasts inverse-transformed, so callers
+            feed/receive RAW values.
+        precision: matmul precision for the K-hop propagation; use the
+            value the offline encode ran with.
+    """
+
+    def __init__(self, encoder: SGPEncoder, graph: Graph, model, params,
+                 scaler: ScalerParams, precision: str = "highest"):
+        self.encoder = encoder
+        self.model = model
+        self.params = params
+        self.scaler = scaler
+        self._res = encoder.reservoir
+        self._ops = build_streaming_ops(encoder, graph,
+                                        precision=precision)
+        self._k = encoder.spatial.receptive_field
+        self._global_attr = encoder.spatial.global_attr
+        n = graph.num_nodes
+        self.state = [jnp.zeros((n, p.w_hh.shape[0]), jnp.float32)
+                      for p in self._res.layers]
+
+        res, k, gattr = self._res, self._k, self._global_attr
+
+        @jax.jit
+        def _step(params, h, x_raw, ops, u_t):
+            # scaler params carry [1, 1, C]-style broadcast dims; keep
+            # the single observation's [N, C] rank
+            x_t = scaler.transform(x_raw).reshape(x_raw.shape)
+            h_new = res.step(h, x_t)
+            hc = jnp.concatenate(h_new, -1)        # [N, L*H]
+            parts = [hc]
+            for op in ops:       # same assembly/order as the offline
+                cur = hc         # SGPEncoder / _streaming_encode
+                for _ in range(k):
+                    cur = op @ cur
+                    parts.append(cur)
+            if gattr:
+                parts.append(jnp.broadcast_to(
+                    hc.mean(-2, keepdims=True), hc.shape))
+            feat = jnp.concatenate(parts, -1)      # [N, D]
+            kwargs = {} if u_t is None else {"u": u_t[None, None]}
+            y = model.apply(params, feat[None], training=False,
+                            **kwargs)              # [1, H, N, C]
+            return h_new, scaler.inverse_transform(y[0])
+
+        self._step = _step
+
+    def step(self, x_raw, u_t: Optional[jnp.ndarray] = None):
+        """Ingest one RAW observation ``[N, C]`` (+ optional global
+        exogenous ``[F]``); returns the forecast ``[H, N, C]`` in raw
+        units. One device dispatch."""
+        self.state, y = self._step(self.params, self.state,
+                                   jnp.asarray(x_raw), self._ops, u_t)
+        return y
+
+    def reset(self):
+        """Zero the reservoir state (new stream / washout restart)."""
+        self.state = jax.tree.map(jnp.zeros_like, self.state)
+
+    def warm_up(self, x_history, u_history=None):
+        """Replay a RAW history ``[T, N, C]`` through the full scan (one
+        dispatch, not T) to condition the state before live serving."""
+        x = self.scaler.transform(jnp.asarray(x_history))
+        _, h = self._res(x, h0=self.state, with_state=True)
+        self.state = h

@@ -1,0 +1,65 @@
+"""Online serving == offline pipeline: feeding raw observations
+step-by-step through OnlineForecaster reproduces the offline
+SGPEncoder-precompute + decoder forecasts exactly."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgp_tpu.data import ScalerParams
+from sgp_tpu.encode import SGPEncoder
+from sgp_tpu.graph import Graph, coalesce
+from sgp_tpu.models import SGPModel
+from sgp_tpu.serve import OnlineForecaster
+
+
+def _setup(rng, n=14, t=24, f=1):
+    g = coalesce(Graph(rng.integers(0, n, 5 * n),
+                       rng.integers(0, n, 5 * n),
+                       rng.random(5 * n).astype(np.float32), n))
+    x_raw = rng.standard_normal((t, n, f)).astype(np.float32) * 3 + 1
+    enc = SGPEncoder(input_size=f, reservoir_size=6, reservoir_layers=2,
+                     receptive_field=2, bidirectional=True,
+                     global_attr=True, seed=3)
+    scaler = ScalerParams(jnp.full((1, 1, f), 1.0),
+                          jnp.full((1, 1, f), 3.0))
+    # order = 1 self + 2 dirs x 2 hops + 1 global = 6 blocks
+    model = SGPModel(input_size=enc.output_size, order=6, n_nodes=n,
+                     hidden_size=16, mlp_size=8, output_size=f,
+                     n_layers=1, horizon=3, positional_encoding=True)
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "dropout": key},
+                        jnp.zeros((1, n, enc.output_size)))
+    return g, x_raw, enc, scaler, model, params
+
+
+def test_online_matches_offline(rng):
+    g, x_raw, enc, scaler, model, params = _setup(rng)
+    # offline: encode the whole scaled series, decode every step
+    encoded = enc(scaler.transform(jnp.asarray(x_raw)), g)
+    offline = model.apply(params, np.asarray(encoded)[:, None],
+                          training=False)       # [T, H, N, F] (b=T)
+    offline = scaler.inverse_transform(offline)
+
+    fc = OnlineForecaster(enc, g, model, params, scaler)
+    for t in range(x_raw.shape[0]):
+        y = fc.step(x_raw[t])
+        np.testing.assert_allclose(np.asarray(y), np.asarray(offline[t]),
+                                   rtol=2e-5, atol=2e-5, err_msg=f"t={t}")
+
+
+def test_warm_up_equals_stepping(rng):
+    g, x_raw, enc, scaler, model, params = _setup(rng)
+    a = OnlineForecaster(enc, g, model, params, scaler)
+    for t in range(10):
+        a.step(x_raw[t])
+    b = OnlineForecaster(enc, g, model, params, scaler)
+    b.warm_up(x_raw[:10])
+    for ha, hb in zip(a.state, b.state):
+        np.testing.assert_allclose(np.asarray(ha), np.asarray(hb),
+                                   rtol=1e-5, atol=1e-6)
+    ya = a.step(x_raw[10])
+    yb = b.step(x_raw[10])
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                               rtol=1e-5, atol=1e-6)
+    a.reset()
+    assert not any(np.asarray(h).any() for h in a.state)
