@@ -529,7 +529,10 @@ def main():
     # min child budget: a BSR pass needs ~2-3 min incl. tunnel init,
     # more when the compile service is in a slow window
     extras.update(_run_child("bsr", max(remaining(), 480)))
-    extras.update(_run_child("serve", max(remaining(), 360)))
+    if remaining() > 120:
+        extras.update(_run_child("serve", max(remaining(), 300)))
+    else:
+        extras["serve_skipped"] = "budget"
 
     batch_s = extras.pop("train_batch_s", 0.0)
     extras["total_bench_wall_s"] = round(time.time() - t_start, 1)

@@ -173,15 +173,30 @@ def run_experiment(args):
             ds.scaler_params(), mesh, u=u, batch_size=args.batch_size,
             scale_target=args.scale_target, steps_per_call=batches_epoch,
             packed=packed)
-
-        def test_eval_fn(p):
-            ev = make_sharded_iid_eval(
-                model, packed if streaming_packed else enc, tgt, mask,
-                ds.indices()[split.test], w_off, h_off,
-                ds.scaler_params(), metrics, mesh, u=u,
-                batch_size=infer_bs,
-                x_slice=x_size if streaming_packed else None)
-            return ev(p)
+        # eval REUSES the step's node-sharded arrays (device_put with an
+        # identical sharding is a no-op) — re-sharding the originals
+        # would double every big allocation on a cumulative-HBM backend
+        u_sh = step.data[-1] if u is not None else None
+        step_packed = len(step.data) - (1 if u is not None else 0) == 2
+        if step_packed:
+            # packed rows: features AND shifted targets/masks come from
+            # the single sharded array; no target/mask copies at all
+            def test_eval_fn(p):
+                ev = make_sharded_iid_eval(
+                    model, step.data[0], None, None,
+                    ds.indices()[split.test], w_off, h_off,
+                    ds.scaler_params(), metrics, mesh, u=u_sh,
+                    batch_size=infer_bs, x_slice=x_size,
+                    unpack_targets=True, n_nodes=ds.n_nodes)
+                return ev(p)
+        else:
+            def test_eval_fn(p):
+                ev = make_sharded_iid_eval(
+                    model, step.data[0], step.data[1], step.data[2],
+                    ds.indices()[split.test], w_off, h_off,
+                    ds.scaler_params(), metrics, mesh, u=u_sh,
+                    batch_size=infer_bs, n_nodes=ds.n_nodes)
+                return ev(p)
     else:
         step = make_fused_iid_multi_step(
             model, optimizer, enc, tgt, mask, valid, h_off,
@@ -447,14 +462,67 @@ def run_experiment_stratified(args):
     batches_epoch = args.batches_epoch if args.batches_epoch > 0 else 32
     times_per_batch = getattr(args, "times_per_batch", 32)
     nodes_per_time = max(args.batch_size // times_per_batch, 1)
-    step = make_fused_iid_stratified_step(
-        model, optimizer, h_temporal, jnp.asarray(ds.target),
-        jnp.asarray(ds.mask), jnp.asarray(ds.indices()[split.train]),
-        jnp.asarray(ds.windowing.horizon_offsets()), ds.scaler_params(),
-        ops, global_attr=args.global_attr, u=u,
-        times_per_batch=times_per_batch,
-        nodes_per_time=nodes_per_time,
-        scale_target=args.scale_target, steps_per_call=batches_epoch)
+    from sgp_tpu.ops import GlobalMeanOperator
+    eval_ops = list(ops) + ([GlobalMeanOperator(ds.n_nodes)]
+                            if args.global_attr else [])
+    metrics = MaskedMetrics.forecasting()
+    infer_bs = args.batch_inference or 16
+    w_off = jnp.asarray(ds.windowing.window_offsets())
+    h_off = jnp.asarray(ds.windowing.horizon_offsets())
+    data_sharding = getattr(args, "data_sharding", "none")
+    if data_sharding == "nodes":
+        # multi-chip x beyond-HBM: resident embedding 1/n per device;
+        # the step all-gathers only the sampled time rows; eval
+        # propagates each time batch the same way (support_ops inside
+        # the sharded eval) — nothing full-size ever lives on one chip
+        from sgp_tpu.parallel import (make_mesh, make_sharded_iid_eval,
+                                      make_sharded_iid_stratified_step)
+        n_dev = len(jax.devices())
+        mesh = make_mesh(n_dev, 1)
+        logger.info(f"data-sharding=nodes over {n_dev} devices "
+                    f"(stratified)")
+        npt = max(-(-nodes_per_time // n_dev) * n_dev, n_dev)
+        step = make_sharded_iid_stratified_step(
+            model, optimizer, h_temporal, jnp.asarray(ds.target),
+            jnp.asarray(ds.mask),
+            jnp.asarray(ds.indices()[split.train]), h_off,
+            ds.scaler_params(), ops, mesh,
+            global_attr=args.global_attr, u=u,
+            times_per_batch=times_per_batch, nodes_per_time=npt,
+            scale_target=args.scale_target,
+            steps_per_call=batches_epoch)
+
+        def test_eval_fn(p):
+            ev = make_sharded_iid_eval(
+                model, step.data[0], step.data[1], step.data[2],
+                ds.indices()[split.test], w_off, h_off,
+                ds.scaler_params(), metrics, mesh,
+                u=step.data[-1] if u is not None else None,
+                batch_size=infer_bs, support_ops=eval_ops,
+                n_nodes=ds.n_nodes)
+            return ev(p)
+    else:
+        step = make_fused_iid_stratified_step(
+            model, optimizer, h_temporal, jnp.asarray(ds.target),
+            jnp.asarray(ds.mask), jnp.asarray(ds.indices()[split.train]),
+            h_off, ds.scaler_params(),
+            ops, global_attr=args.global_attr, u=u,
+            times_per_batch=times_per_batch,
+            nodes_per_time=nodes_per_time,
+            scale_target=args.scale_target, steps_per_call=batches_epoch)
+
+        def test_eval_fn(p):
+            # full-graph test evaluation: the reservoir embedding is
+            # the model input, propagated through the same supports
+            # (+ global mean) — ONE dispatch, identical math to the
+            # in-step assembly
+            from sgp_tpu.train.fused_window import make_fused_eval
+            ev = make_fused_eval(
+                model, h_temporal, jnp.asarray(ds.target),
+                jnp.asarray(ds.mask), ds.indices()[split.test], w_off,
+                h_off, ds.scaler_params(), metrics, u=u,
+                support_ops=eval_ops, batch_size=infer_bs)
+            return ev(p)
 
     best_params, key, fit_state = _run_restartable_fit(
         args, model, step, params, opt_state, key, batches_epoch)
@@ -462,28 +530,15 @@ def run_experiment_stratified(args):
         fit_state["train_time_s"]
     logger.info(f"train done in {train_time:.1f}s")
 
-    # full-graph test evaluation: the reservoir embedding is the model
-    # input, propagated through the same supports (+ global mean) —
-    # fused into ONE dispatch (identical math to the in-step assembly)
-    from sgp_tpu.ops import GlobalMeanOperator
-    from sgp_tpu.train.fused_window import make_fused_eval
-    eval_ops = list(ops) + ([GlobalMeanOperator(ds.n_nodes)]
-                            if args.global_attr else [])
-    metrics = MaskedMetrics.forecasting()
     predictor = Predictor(model, metrics=metrics)
     predictor.params = best_params
     predictor._build_steps(ds.scaler_params())
     predictor.save(f"{args.logdir}/best.msgpack")
-    test_eval = make_fused_eval(
-        model, h_temporal, jnp.asarray(ds.target), jnp.asarray(ds.mask),
-        ds.indices()[split.test],
-        jnp.asarray(ds.windowing.window_offsets()),
-        jnp.asarray(ds.windowing.horizon_offsets()),
-        ds.scaler_params(), metrics, u=u, support_ops=eval_ops,
-        batch_size=args.batch_inference or 16)
-    results = {f"test_{k}": v for k, v in test_eval(best_params).items()}
+    results = {f"test_{k}": v for k, v in test_eval_fn(best_params).items()}
     results["train_mae"] = best_loss
     results["train_time_s"] = train_time
+    if data_sharding != "none":
+        results["data_sharding"] = data_sharding
     logger.info(f"results: {results}")
     return results
 

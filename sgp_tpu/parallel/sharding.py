@@ -19,6 +19,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sgp_tpu.data.scalers import ScalerParams
@@ -139,8 +140,11 @@ def make_sharded_iid_step(model, optimizer, encoded, target, mask,
 
     if prebuilt is None:
         encoded = shard_nodes(encoded, mesh, axis, node_axis=1)
-    target = shard_nodes(target, mesh, axis, node_axis=1)
-    mask = shard_nodes(mask, mesh, axis, node_axis=1)  # pads -> False
+        target = shard_nodes(target, mesh, axis, node_axis=1)
+        mask = shard_nodes(mask, mesh, axis, node_axis=1)  # pads -> False
+    # prebuilt packed rows already carry the shifted targets/masks —
+    # sharding target/mask too would device_put full copies the step
+    # never reads (cumulative-HBM backend, see CLAUDE.md)
     if u_node:
         u = shard_nodes(u, mesh, axis, node_axis=1)
     elif has_u:
@@ -497,7 +501,8 @@ def make_sharded_iid_eval(model, encoded, target, mask, item_starts,
                           window_offsets, horizon_offsets, scaler,
                           metrics, mesh: Mesh, u=None,
                           axis: str = "data", batch_size: int = 32,
-                          x_slice=None):
+                          x_slice=None, unpack_targets: bool = False,
+                          support_ops=None, n_nodes: int = None):
     """Node-sharded fused evaluation — the multi-chip counterpart of
     ``train.fused_window.make_fused_eval`` (same semantics: reference
     eval loop ``tsl/predictors/base_predictor.py:267-303``).
@@ -511,23 +516,48 @@ def make_sharded_iid_eval(model, encoded, target, mask, item_starts,
     eval slots and padded nodes carry ``mask=False``.
 
     ``x_slice`` reads only the first lanes of a packed row layout
-    (``train.iid.pack_iid_data``), as in ``make_fused_eval``. Arrays
-    already node-sharded by ``shard_nodes`` (or ``make_sharded_iid_step``)
-    are reused in place.
+    (``train.iid.pack_iid_data``). With ``unpack_targets=True`` (packed
+    rows, window of exactly one step) the horizon-shifted targets and
+    masks are ALSO read from the packed lanes — ``target``/``mask`` may
+    then be ``None`` and no separate copies ever occupy HBM.
+
+    ``support_ops`` propagates the gathered windows on the fly (the
+    stratified/beyond-HBM layout): each time batch all-gathers only its
+    ``B·W·N·F`` selected rows over ICI, each device contracts its node
+    slab's operator ROWS against them (``DenseOperator`` block einsum;
+    other operators full-prop + local slice).
+
+    Arrays already node-sharded by ``shard_nodes`` (or produced by
+    ``make_sharded_iid_step``) are reused in place — ``device_put`` with
+    an identical sharding is a no-op, so passing ``step.data`` arrays
+    allocates nothing new.
     """
     from jax import shard_map
+    from sgp_tpu.ops.spmm import DenseOperator
     from sgp_tpu.parallel.halo import shard_nodes
     from sgp_tpu.train.fused_window import pad_eval_items
+    from sgp_tpu.train.iid import unpack_iid_rows
 
     n_shards = mesh.shape[axis]
-    n_nodes = encoded.shape[1]
+    # pre-padded/sharded arrays (e.g. step.data) carry the PADDED node
+    # count — pass the true n_nodes so operator slices stay aligned
+    if n_nodes is None:
+        n_nodes = encoded.shape[1]
     n_local = -(-n_nodes // n_shards)
     has_u = u is not None
     u_node = has_u and u.ndim == 3
+    n_h = int(np.asarray(horizon_offsets).shape[0])
+    if unpack_targets:
+        assert x_slice is not None, "unpack_targets requires x_slice"
+        assert len(np.asarray(window_offsets)) == 1, \
+            "packed-lane targets need a single-step window"
+        n_c = (encoded.shape[-1] - x_slice) // (3 * n_h)
+        target = mask = None
 
     encoded = shard_nodes(encoded, mesh, axis, node_axis=1)
-    target = shard_nodes(target, mesh, axis, node_axis=1)
-    mask = shard_nodes(mask, mesh, axis, node_axis=1)   # pads -> False
+    if target is not None:
+        target = shard_nodes(target, mesh, axis, node_axis=1)
+        mask = shard_nodes(mask, mesh, axis, node_axis=1)  # pads->False
     if u_node:
         u = shard_nodes(u, mesh, axis, node_axis=1)
     elif has_u:
@@ -537,16 +567,31 @@ def make_sharded_iid_eval(model, encoded, target, mask, item_starts,
 
     node_spec = P(None, axis, None)
     repl = P()
-    data = (encoded, target, mask, starts, ok_flags,
-            jnp.asarray(window_offsets), jnp.asarray(horizon_offsets)) \
+    has_tm = target is not None
+    has_ops = support_ops is not None
+    ops_repl = () if not has_ops else (jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, repl)),
+        tuple(support_ops)),)
+    data = (encoded,) \
+        + ((target, mask) if has_tm else ()) \
+        + (starts, ok_flags, jnp.asarray(window_offsets),
+           jnp.asarray(horizon_offsets)) + ops_repl \
         + ((u,) if has_u else ())
-    data_specs = (node_spec, node_spec, node_spec, repl, repl, repl,
-                  repl) + (((node_spec if u_node else repl),)
-                           if has_u else ())
+    data_specs = (node_spec,) \
+        + ((node_spec, node_spec) if has_tm else ()) \
+        + (repl, repl, repl, repl) + ((repl,) if has_ops else ()) \
+        + (((node_spec if u_node else repl),) if has_u else ())
 
     def local_eval(params, data):
-        enc, tgt, msk, st, okf, w_off, h_off = data[:7]
-        u_arr = data[7] if has_u else None
+        enc = data[0]
+        i = 1
+        if has_tm:
+            tgt, msk = data[i:i + 2]
+            i += 2
+        st, okf, w_off, h_off = data[i:i + 4]
+        i += 4
+        ops_d = data[i] if has_ops else None
+        u_arr = data[-1] if has_u else None
         shard_id = jax.lax.axis_index(axis)
         node_ids = shard_id * n_local + jnp.arange(n_local)
         sc = scaler.index_nodes(node_ids)
@@ -556,10 +601,39 @@ def make_sharded_iid_eval(model, encoded, target, mask, item_starts,
             w_steps = items[:, None] + w_off[None, :]
             h_steps = items[:, None] + h_off[None, :]
             x = enc[w_steps]                      # [B, W, Nl, F]
+            if unpack_targets:
+                b = x.shape[0]
+                _, y, m = unpack_iid_rows(
+                    x[:, -1].reshape(b * n_local, -1), x_slice, n_h, n_c)
+                y = y.reshape(b, n_local, n_h, n_c).transpose(0, 2, 1, 3)
+                m = m.reshape(b, n_local, n_h, n_c).transpose(0, 2, 1, 3)
+            else:
+                y = tgt[h_steps]
+                m = msk[h_steps]
+            m = m & ok[:, None, None, None]
             if x_slice is not None:
                 x = x[..., :x_slice]              # packed: feature lanes
-            y = tgt[h_steps]
-            m = msk[h_steps] & ok[:, None, None, None]
+            if ops_d is not None:
+                # on-the-fly propagation on node-sharded features: move
+                # only this batch's B*W*N*F rows over ICI, contract each
+                # device's operator ROW slab locally
+                x_all = jax.lax.all_gather(x, axis, axis=2, tiled=True)
+                x_all = x_all[:, :, :n_nodes]
+                parts = [x]
+                for op in ops_d:
+                    if isinstance(op, DenseOperator):
+                        block = op.mat[node_ids]          # [Nl, N]
+                        hop = jnp.einsum(
+                            "ln,bwnf->bwlf", block, x_all,
+                            precision=op.precision,
+                            preferred_element_type=jnp.float32
+                            ).astype(x.dtype)
+                    else:      # e.g. GlobalMeanOperator: full + take
+                        # (take clamps per index, so the last shard's
+                        # real rows stay aligned under node padding)
+                        hop = jnp.take(op @ x_all, node_ids, axis=2)
+                    parts.append(hop)
+                x = jnp.concatenate(parts, -1)
             kwargs = {}
             if has_u:
                 uu = u_arr[w_steps]

@@ -40,10 +40,15 @@ class OnlineForecaster:
             feed/receive RAW values.
         precision: matmul precision for the K-hop propagation; use the
             value the offline encode ran with.
+        store_dtype: dtype the offline encoding was STORED in (e.g.
+            ``"bfloat16"``, the runners' default) — online features are
+            cast to it before the decoder, so a decoder trained on bf16
+            features sees the same rounding online. ``None`` keeps f32.
     """
 
     def __init__(self, encoder: SGPEncoder, graph: Graph, model, params,
-                 scaler: ScalerParams, precision: str = "highest"):
+                 scaler: ScalerParams, precision: str = "highest",
+                 store_dtype=None):
         self.encoder = encoder
         self.model = model
         self.params = params
@@ -76,6 +81,8 @@ class OnlineForecaster:
                 parts.append(jnp.broadcast_to(
                     hc.mean(-2, keepdims=True), hc.shape))
             feat = jnp.concatenate(parts, -1)      # [N, D]
+            if store_dtype is not None:  # match the offline stored
+                feat = feat.astype(store_dtype)    # feature rounding
             kwargs = {} if u_t is None else {"u": u_t[None, None]}
             y = model.apply(params, feat[None], training=False,
                             **kwargs)              # [1, H, N, C]
@@ -95,9 +102,11 @@ class OnlineForecaster:
         """Zero the reservoir state (new stream / washout restart)."""
         self.state = jax.tree.map(jnp.zeros_like, self.state)
 
-    def warm_up(self, x_history, u_history=None):
+    def warm_up(self, x_history):
         """Replay a RAW history ``[T, N, C]`` through the full scan (one
-        dispatch, not T) to condition the state before live serving."""
+        dispatch, not T) to condition the RESERVOIR STATE before live
+        serving (exogenous inputs only affect the decoder, not the
+        state, so none are needed here)."""
         x = self.scaler.transform(jnp.asarray(x_history))
         _, h = self._res(x, h0=self.state, with_state=True)
         self.state = h

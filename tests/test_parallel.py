@@ -529,3 +529,84 @@ def test_sharded_stratified_step_matches_emulation(rng):
                     jax.tree_util.tree_leaves(p_em)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=3e-4)
+
+
+def test_sharded_eval_unpack_targets_matches(rng):
+    """Packed-lane target unpacking (no separate target/mask arrays in
+    HBM) reproduces the explicit-arrays sharded eval exactly."""
+    from sgp_tpu.data import ScalerParams
+    from sgp_tpu.models import SGPModel
+    from sgp_tpu.parallel import make_sharded_iid_eval
+    from sgp_tpu.train import MaskedMetrics
+    from sgp_tpu.train.iid import pack_iid_data
+
+    t, n, f, h = 30, 24, 4, 2
+    enc = jnp.asarray(rng.standard_normal((t, n, f)).astype(np.float32)
+                      ).astype(jnp.bfloat16)
+    tgt = jnp.asarray(rng.standard_normal((t, n, 1)).astype(np.float32))
+    msk = jnp.asarray(rng.random((t, n, 1)) > 0.3)
+    h_off = 1 + jnp.arange(h)
+    packed = pack_iid_data(enc, tgt, msk, h_off)
+    model = SGPModel(input_size=f, order=2, n_nodes=n, hidden_size=8,
+                     mlp_size=8, output_size=1, n_layers=1, horizon=h,
+                     positional_encoding=True)
+    key = jax.random.PRNGKey(1)
+    params = model.init({"params": key, "dropout": key},
+                        jnp.zeros((2, 1, n, f)))
+    items = np.arange(t - h - 1)
+    metrics = MaskedMetrics.forecasting()
+    scaler = ScalerParams(jnp.zeros(1), jnp.ones(1))
+    mesh = make_mesh(8, 1)
+    with mesh:
+        ref = make_sharded_iid_eval(
+            model, packed, tgt, msk, items, np.array([0]), h_off,
+            scaler, metrics, mesh, batch_size=4, x_slice=f)(params)
+        got_ev = make_sharded_iid_eval(
+            model, packed, None, None, items, np.array([0]), h_off,
+            scaler, metrics, mesh, batch_size=4, x_slice=f,
+            unpack_targets=True)
+        got = got_ev(params)
+    assert len(got_ev.data) == 5      # packed + starts/ok/w/h, no tgt/msk
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-6, err_msg=k)
+
+
+def test_sharded_eval_support_ops_matches_fused(rng):
+    """Sharded eval with on-the-fly support propagation (the stratified
+    layout: all-gather only each batch's time rows, contract local
+    operator row slabs) == single-device make_fused_eval with the same
+    support_ops, incl. a non-dense GlobalMeanOperator."""
+    from sgp_tpu.data import ScalerParams
+    from sgp_tpu.models import SGPModel
+    from sgp_tpu.ops import GlobalMeanOperator
+    from sgp_tpu.parallel import make_sharded_iid_eval
+    from sgp_tpu.train import MaskedMetrics
+    from sgp_tpu.train.fused_window import make_fused_eval
+
+    t, n, ht, h = 30, 16, 6, 2
+    g = graph(rng, n)
+    ops = [build_operator(g, "dense"), GlobalMeanOperator(n)]
+    h_temp = jnp.asarray(rng.standard_normal((t, n, ht)).astype(np.float32))
+    tgt = jnp.asarray(rng.standard_normal((t, n, 1)).astype(np.float32))
+    msk = jnp.asarray(rng.random((t, n, 1)) > 0.2)
+    items = np.arange(t - h - 1)
+    h_off = 1 + jnp.arange(h)
+    scaler = ScalerParams(jnp.zeros(1), jnp.ones(1))
+    model = SGPModel(input_size=3 * ht, order=3, n_nodes=n,
+                     hidden_size=12, mlp_size=8, output_size=1,
+                     n_layers=1, horizon=h, positional_encoding=True)
+    key = jax.random.PRNGKey(2)
+    params = model.init({"params": key, "dropout": key},
+                        jnp.zeros((2, 1, n, 3 * ht)))
+    metrics = MaskedMetrics.forecasting()
+    ref = make_fused_eval(model, h_temp, tgt, msk, items, np.array([0]),
+                          h_off, scaler, metrics, support_ops=ops,
+                          batch_size=4)(params)
+    mesh = make_mesh(8, 1)
+    with mesh:
+        got = make_sharded_iid_eval(
+            model, h_temp, tgt, msk, items, np.array([0]), h_off,
+            scaler, metrics, mesh, batch_size=4,
+            support_ops=ops)(params)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=2e-5, err_msg=k)

@@ -181,3 +181,17 @@ def test_largescale_runner_vmapped_search_with_exog():
                        "--keep-raw", "true"])
     assert len(res["trials"]) == 2
     assert np.isfinite(res["test_mae"])
+
+
+def test_stratified_runner_data_sharding_nodes():
+    """--iid-stratified + --data-sharding nodes: the node-sharded
+    beyond-HBM trainer and the support-ops sharded eval run end to end
+    on the CPU mesh."""
+    from sgp_tpu.exp.run_largescale_sgp import (
+        configure_parser_largescale as configure_parser, run_experiment)
+
+    res = _run(run_experiment, configure_parser,
+               BASE + ["--iid-stratified", "true",
+                       "--data-sharding", "nodes"])
+    assert res["data_sharding"] == "nodes"
+    assert np.isfinite(res["test_mae"])

@@ -63,3 +63,21 @@ def test_warm_up_equals_stepping(rng):
                                rtol=1e-5, atol=1e-6)
     a.reset()
     assert not any(np.asarray(h).any() for h in a.state)
+
+
+def test_online_matches_offline_bf16_store(rng):
+    """store_dtype='bfloat16' makes online features carry the SAME
+    rounding the offline bf16-stored encoding gave the decoder."""
+    g, x_raw, enc, scaler, model, params = _setup(rng)
+    encoded = enc(scaler.transform(jnp.asarray(x_raw)), g,
+                  out_dtype="bfloat16")
+    offline = model.apply(params, np.asarray(encoded)[:, None],
+                          training=False)
+    offline = scaler.inverse_transform(offline)
+
+    fc = OnlineForecaster(enc, g, model, params, scaler,
+                          store_dtype="bfloat16")
+    for t in range(x_raw.shape[0]):
+        y = fc.step(x_raw[t])
+        np.testing.assert_allclose(np.asarray(y), np.asarray(offline[t]),
+                                   rtol=2e-5, atol=2e-5, err_msg=f"t={t}")
