@@ -73,44 +73,65 @@ class GraphESN:
 
     def __call__(self, x: jnp.ndarray, op: Operator,
                  return_last_state: bool = False,
-                 out_dtype=None) -> jnp.ndarray:
+                 out_dtype=None, h0=None,
+                 with_state: bool = False) -> jnp.ndarray:
         """``x [T, N, F]`` + normalized operator -> ``[T, N, L*H]``.
         ``out_dtype`` casts each step inside the scan (the f32 state
         history is never materialized — required when the full-series
-        encoding approaches HBM capacity)."""
+        encoding approaches HBM capacity). ``h0``/``with_state`` carry
+        the per-layer state across calls (streaming / online serving),
+        as in :class:`~sgp_tpu.encode.reservoir.Reservoir`."""
         return gesn_scan(tuple(self.layers), self.activation, op, x,
-                         return_last_state, out_dtype=out_dtype)
+                         return_last_state, out_dtype=out_dtype, h0=h0,
+                         with_state=with_state)
+
+    def step(self, h, op: Operator, x_t: jnp.ndarray):
+        """Single-step update (online serving): ``x_t [N, F]`` +
+        per-layer state list -> new state list."""
+        return _gesn_step(tuple(self.layers),
+                          _ACTIVATIONS[self.activation], op, list(h),
+                          x_t)
+
+
+def _gesn_cell(p, act, op, h, x_t):
+    rec = op @ (h @ p.w_hh.T)           # A (h W_hh^T): SpMM over nodes
+    pre = x_t @ p.w_ih.T + rec
+    if p.b_ih is not None:
+        pre = pre + p.b_ih
+    return (1.0 - p.alpha) * h + p.alpha * act(pre)
+
+
+def _gesn_step(layers, act, op, h, x_t):
+    new_h = []
+    inp = x_t
+    for i, p in enumerate(layers):
+        hi = _gesn_cell(p, act, op, h[i], inp)
+        new_h.append(hi)
+        inp = hi
+    return new_h
 
 
 @functools.partial(jax.jit,
                    static_argnames=("activation", "return_last_state",
-                                    "out_dtype"))
+                                    "out_dtype", "with_state"))
 def gesn_scan(layers, activation: str, op: Operator, x,
-              return_last_state: bool = False, out_dtype=None):
+              return_last_state: bool = False, out_dtype=None,
+              h0=None, with_state: bool = False):
     act = _ACTIVATIONS[activation]
     n = x.shape[-2]
 
-    def cell(p, h, x_t):
-        rec = op @ (h @ p.w_hh.T)           # A (h W_hh^T): SpMM over nodes
-        pre = x_t @ p.w_ih.T + rec
-        if p.b_ih is not None:
-            pre = pre + p.b_ih
-        return (1.0 - p.alpha) * h + p.alpha * act(pre)
-
     def step(h, x_t):
-        new_h = []
-        inp = x_t
-        for i, p in enumerate(layers):
-            hi = cell(p, h[i], inp)
-            new_h.append(hi)
-            inp = hi
+        new_h = _gesn_step(layers, act, op, h, x_t)
         out_t = jnp.concatenate(new_h, axis=-1)
         if out_dtype is not None:
             out_t = out_t.astype(out_dtype)
         return new_h, out_t
 
-    h0 = [jnp.zeros((n, p.w_hh.shape[0]), x.dtype) for p in layers]
-    last_h, out = jax.lax.scan(step, h0, x)
+    if h0 is None:
+        h0 = [jnp.zeros((n, p.w_hh.shape[0]), x.dtype) for p in layers]
+    last_h, out = jax.lax.scan(step, list(h0), x)
     if return_last_state:
         return jnp.concatenate(last_h, -1)
+    if with_state:
+        return out, last_h
     return out

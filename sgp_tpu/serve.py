@@ -110,3 +110,61 @@ class OnlineForecaster:
         x = self.scaler.transform(jnp.asarray(x_history))
         _, h = self._res(x, h0=self.state, with_state=True)
         self.state = h
+
+
+class OnlineGESNForecaster:
+    """Online DynGESN serving: graph echo-state update + per-lag
+    closed-form ridge readouts, one dispatch per observation.
+
+    Counterpart of the reference's closed-form path
+    (``experiments/run_closed_form.py:158-196``) served online: the
+    GESN state ``h'`` = (1-a) h + a act(W_ih x + A (h W_hh^T)) carries
+    across time; every new RAW observation yields all horizon-lag
+    forecasts via ONE stacked einsum over the fitted readouts.
+
+    ``readouts``: sequence of per-lag ``(W [D, C], b [C])`` as returned
+    by ``train.ridge.closed_form_readout`` (one entry per horizon lag).
+    """
+
+    def __init__(self, encoder, graph: Graph, readouts,
+                 scaler: ScalerParams):
+        from sgp_tpu.graph import add_self_loops, normalize_adj
+        from sgp_tpu.ops import build_operator
+
+        self.scaler = scaler
+        self._gesn = encoder.gesn
+        g = normalize_adj(add_self_loops(graph), "row")
+        self._op = build_operator(g, encoder.operator_mode)
+        w = jnp.stack([jnp.asarray(wl) for wl, _ in readouts])  # [L,D,C]
+        b = jnp.stack([jnp.asarray(bl) for _, bl in readouts])  # [L,C]
+        gesn = self._gesn
+        n = graph.num_nodes
+        self.state = [jnp.zeros((n, p.w_hh.shape[0]), jnp.float32)
+                      for p in gesn.layers]
+
+        @jax.jit
+        def _step(h, x_raw, op, w, b):
+            x_t = scaler.transform(x_raw).reshape(x_raw.shape)
+            h_new = gesn.step(h, op, x_t)
+            hc = jnp.concatenate(h_new, -1)          # [N, D]
+            y = jnp.einsum("nd,ldc->lnc", hc, w) + b[:, None]
+            return h_new, scaler.inverse_transform(y)
+
+        self._step_fn = _step
+        self._w, self._b = w, b
+
+    def step(self, x_raw):
+        """One RAW observation ``[N, C]`` -> all-lag forecasts
+        ``[L, N, C]`` in raw units. One device dispatch."""
+        self.state, y = self._step_fn(self.state, jnp.asarray(x_raw),
+                                      self._op, self._w, self._b)
+        return y
+
+    def reset(self):
+        self.state = jax.tree.map(jnp.zeros_like, self.state)
+
+    def warm_up(self, x_history):
+        """Condition the GESN state on a RAW history in one dispatch."""
+        x = self.scaler.transform(jnp.asarray(x_history))
+        _, h = self._gesn(x, self._op, h0=self.state, with_state=True)
+        self.state = h

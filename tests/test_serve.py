@@ -81,3 +81,47 @@ def test_online_matches_offline_bf16_store(rng):
         y = fc.step(x_raw[t])
         np.testing.assert_allclose(np.asarray(y), np.asarray(offline[t]),
                                    rtol=2e-5, atol=2e-5, err_msg=f"t={t}")
+
+
+def test_online_gesn_matches_offline(rng):
+    """OnlineGESNForecaster reproduces the offline DynGESN pipeline:
+    GESN encode + per-lag ridge readouts, fed step by step."""
+    from sgp_tpu.encode import GESNEncoder
+    from sgp_tpu.serve import OnlineGESNForecaster
+    from sgp_tpu.train import closed_form_readout
+
+    n, t, f, lags = 12, 30, 1, 3
+    g = coalesce(Graph(rng.integers(0, n, 4 * n),
+                       rng.integers(0, n, 4 * n),
+                       rng.random(4 * n).astype(np.float32), n))
+    x_raw = rng.standard_normal((t, n, f)).astype(np.float32) * 2 - 0.5
+    scaler = ScalerParams(jnp.full((1, 1, f), -0.5),
+                          jnp.full((1, 1, f), 2.0))
+    enc = GESNEncoder(input_size=f, reservoir_size=5,
+                      reservoir_layers=2, seed=4)
+    x_scaled = scaler.transform(jnp.asarray(x_raw))
+    encoded = np.asarray(enc(x_scaled, g))             # [T, N, D]
+    d = encoded.shape[-1]
+    tr = np.arange(t - lags)
+    xs = encoded[tr].reshape(-1, d)
+    ys = [np.asarray(x_scaled)[tr + 1 + l].reshape(-1, f)
+          for l in range(lags)]
+    readouts = closed_form_readout(xs, ys, alpha=0.3)
+    fc = OnlineGESNForecaster(enc, g, readouts, scaler)
+    for step_t in range(t):
+        y = fc.step(x_raw[step_t])                     # [L, N, F] raw
+        expect = np.stack([encoded[step_t] @ np.asarray(w)
+                           + np.asarray(b) for w, b in readouts])
+        expect = np.asarray(scaler.inverse_transform(
+            jnp.asarray(expect)))
+        np.testing.assert_allclose(np.asarray(y), expect, rtol=2e-4,
+                                   atol=2e-5, err_msg=f"t={step_t}")
+    # warm_up == stepping
+    fc2 = OnlineGESNForecaster(enc, g, readouts, scaler)
+    fc2.warm_up(x_raw[:10])
+    fc.reset()
+    for step_t in range(10):
+        fc.step(x_raw[step_t])
+    for ha, hb in zip(fc.state, fc2.state):
+        np.testing.assert_allclose(np.asarray(ha), np.asarray(hb),
+                                   rtol=1e-5, atol=1e-6)
