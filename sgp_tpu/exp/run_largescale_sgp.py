@@ -177,8 +177,8 @@ def run_experiment(args):
         # identical sharding is a no-op) — re-sharding the originals
         # would double every big allocation on a cumulative-HBM backend
         u_sh = step.data[-1] if u is not None else None
-        step_packed = len(step.data) - (1 if u is not None else 0) == 2
-        if step_packed:
+        if step.packed and len(np.asarray(
+                ds.windowing.window_offsets())) == 1:
             # packed rows: features AND shifted targets/masks come from
             # the single sharded array; no target/mask copies at all
             def test_eval_fn(p):
@@ -188,6 +188,18 @@ def run_experiment(args):
                     ds.scaler_params(), metrics, mesh, u=u_sh,
                     batch_size=infer_bs, x_slice=x_size,
                     unpack_targets=True, n_nodes=ds.n_nodes)
+                return ev(p)
+        elif step.packed:
+            # multi-step windows can't use the packed lanes: shard the
+            # explicit target/mask (still 1/n per device) and slice the
+            # feature lanes out of the packed rows
+            def test_eval_fn(p):
+                ev = make_sharded_iid_eval(
+                    model, step.data[0], tgt, mask,
+                    ds.indices()[split.test], w_off, h_off,
+                    ds.scaler_params(), metrics, mesh, u=u_sh,
+                    batch_size=infer_bs, x_slice=x_size,
+                    n_nodes=ds.n_nodes)
                 return ev(p)
         else:
             def test_eval_fn(p):
@@ -482,6 +494,10 @@ def run_experiment_stratified(args):
         logger.info(f"data-sharding=nodes over {n_dev} devices "
                     f"(stratified)")
         npt = max(-(-nodes_per_time // n_dev) * n_dev, n_dev)
+        if npt != nodes_per_time:
+            logger.info(f"nodes_per_time {nodes_per_time} -> {npt} "
+                        f"(rounded up to {n_dev} devices; effective "
+                        f"batch {times_per_batch * npt})")
         step = make_sharded_iid_stratified_step(
             model, optimizer, h_temporal, jnp.asarray(ds.target),
             jnp.asarray(ds.mask),

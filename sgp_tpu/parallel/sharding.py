@@ -233,6 +233,7 @@ def make_sharded_iid_step(model, optimizer, encoded, target, mask,
 
     step.data = data          # the node-sharded device arrays
     step.n_local = n_local
+    step.packed = packed      # data layout marker (runners branch on it)
     return step
 
 
@@ -551,8 +552,16 @@ def make_sharded_iid_eval(model, encoded, target, mask, item_starts,
         assert x_slice is not None, "unpack_targets requires x_slice"
         assert len(np.asarray(window_offsets)) == 1, \
             "packed-lane targets need a single-step window"
-        n_c = (encoded.shape[-1] - x_slice) // (3 * n_h)
+        lanes = encoded.shape[-1] - x_slice
+        assert lanes > 0 and lanes % (3 * n_h) == 0, \
+            (f"packed lane width {lanes} does not match 3*H*C for "
+             f"H={n_h}; x_slice/horizon_offsets disagree with the "
+             f"pack_iid_data layout")
+        n_c = lanes // (3 * n_h)
         target = mask = None
+    else:
+        assert target is not None and mask is not None, \
+            "target/mask required unless unpack_targets=True"
 
     encoded = shard_nodes(encoded, mesh, axis, node_axis=1)
     if target is not None:

@@ -195,3 +195,15 @@ def test_stratified_runner_data_sharding_nodes():
                        "--data-sharding", "nodes"])
     assert res["data_sharding"] == "nodes"
     assert np.isfinite(res["test_mae"])
+
+
+def test_largescale_runner_data_sharding_multistep_window():
+    """window>1 can't use packed-lane targets: the nodes-sharded eval
+    falls back to explicit (still sharded) target/mask arrays instead
+    of dying after training."""
+    from sgp_tpu.exp.run_largescale_sgp import (
+        configure_parser_largescale as configure_parser, run_experiment)
+
+    res = _run(run_experiment, configure_parser,
+               BASE + ["--data-sharding", "nodes", "--window", "2"])
+    assert np.isfinite(res["test_mae"])
