@@ -112,6 +112,76 @@ class OnlineForecaster:
         self.state = h
 
 
+def export_forecaster(fc: "OnlineForecaster", path: str) -> int:
+    """Serialize the forecaster's fused step as a deployable artifact.
+
+    Uses ``jax.export`` (StableHLO): the decoder params, propagation
+    operators and scaler are EMBEDDED as constants, so the artifact is
+    fully self-contained — serving needs no Python model/encoder code,
+    only :func:`load_forecaster`. Signature: ``(state, x_raw) ->
+    (state', forecast)`` with the reservoir state managed by the
+    caller/wrapper. Returns the artifact size in bytes.
+
+    Note: ``jax.export`` artifacts are platform-scoped — export on the
+    platform you will serve on (a TPU artifact for TPU serving).
+    """
+    import pickle
+
+    from jax import export
+
+    params, ops = fc.params, fc._ops
+    step = jax.jit(lambda h, x: fc._step(params, h, x, ops, None))
+    f_in = fc._res.layers[0].w_ih.shape[1]
+    n = fc.state[0].shape[0]
+    example_x = jnp.zeros((n, f_in), jnp.float32)
+    exported = export.export(step)(fc.state, example_x)
+    blob = {
+        "artifact": exported.serialize(),
+        "state_shapes": [tuple(h.shape) for h in fc.state],
+        "input_shape": (n, f_in),
+    }
+    import os
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fp:
+        pickle.dump(blob, fp)
+    os.replace(tmp, path)
+    return len(blob["artifact"])
+
+
+class ExportedForecaster:
+    """Runtime wrapper around a :func:`export_forecaster` artifact:
+    same ``step``/``reset`` surface as :class:`OnlineForecaster`, no
+    model/encoder code needed."""
+
+    def __init__(self, exported, state_shapes, input_shape):
+        self._exported = exported
+        self._state_shapes = state_shapes
+        self.input_shape = input_shape
+        self.reset()
+
+    def step(self, x_raw):
+        self.state, y = self._exported.call(self.state,
+                                            jnp.asarray(x_raw))
+        return y
+
+    def reset(self):
+        self.state = [jnp.zeros(s, jnp.float32)
+                      for s in self._state_shapes]
+
+
+def load_forecaster(path: str) -> ExportedForecaster:
+    """Load an artifact written by :func:`export_forecaster`."""
+    import pickle
+
+    from jax import export
+
+    with open(path, "rb") as fp:
+        blob = pickle.load(fp)
+    return ExportedForecaster(export.deserialize(blob["artifact"]),
+                              blob["state_shapes"], blob["input_shape"])
+
+
 class OnlineGESNForecaster:
     """Online DynGESN serving: graph echo-state update + per-lag
     closed-form ridge readouts, one dispatch per observation.

@@ -125,3 +125,22 @@ def test_online_gesn_matches_offline(rng):
     for ha, hb in zip(fc.state, fc2.state):
         np.testing.assert_allclose(np.asarray(ha), np.asarray(hb),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_export_forecaster_roundtrip(rng, tmp_path):
+    """jax.export artifact: the deserialized step reproduces the live
+    forecaster exactly, with no encoder/model objects at load time."""
+    from sgp_tpu.serve import export_forecaster, load_forecaster
+
+    g, x_raw, enc, scaler, model, params = _setup(rng)
+    fc = OnlineForecaster(enc, g, model, params, scaler)
+    path = str(tmp_path / "fc.sgpserve")
+    size = export_forecaster(fc, path)
+    assert size > 0
+    loaded = load_forecaster(path)
+    assert loaded.input_shape == (x_raw.shape[1], x_raw.shape[2])
+    for t in range(6):
+        ya = fc.step(x_raw[t])
+        yb = loaded.step(x_raw[t])
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                                   rtol=1e-6, atol=1e-7, err_msg=f"t={t}")
