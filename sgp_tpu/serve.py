@@ -44,11 +44,16 @@ class OnlineForecaster:
             ``"bfloat16"``, the runners' default) — online features are
             cast to it before the decoder, so a decoder trained on bf16
             features sees the same rounding online. ``None`` keeps f32.
+        n_streams: serve ``S`` independent streams (tenants/replicas)
+            in the SAME dispatch: states stack on a leading stream axis
+            and ``step`` takes/returns ``[S, N, C]`` / ``[S, H, N, C]``.
+            The graph/decoder weights are shared; throughput scales
+            with ``S`` while latency stays one dispatch.
     """
 
     def __init__(self, encoder: SGPEncoder, graph: Graph, model, params,
                  scaler: ScalerParams, precision: str = "highest",
-                 store_dtype=None):
+                 store_dtype=None, n_streams: int = None):
         self.encoder = encoder
         self.model = model
         self.params = params
@@ -59,7 +64,9 @@ class OnlineForecaster:
         self._k = encoder.spatial.receptive_field
         self._global_attr = encoder.spatial.global_attr
         n = graph.num_nodes
-        self.state = [jnp.zeros((n, p.w_hh.shape[0]), jnp.float32)
+        self.n_streams = n_streams
+        lead = () if n_streams is None else (n_streams,)
+        self.state = [jnp.zeros(lead + (n, p.w_hh.shape[0]), jnp.float32)
                       for p in self._res.layers]
 
         res, k, gattr = self._res, self._k, self._global_attr
@@ -83,17 +90,24 @@ class OnlineForecaster:
             feat = jnp.concatenate(parts, -1)      # [N, D]
             if store_dtype is not None:  # match the offline stored
                 feat = feat.astype(store_dtype)    # feature rounding
-            kwargs = {} if u_t is None else {"u": u_t[None, None]}
-            y = model.apply(params, feat[None], training=False,
-                            **kwargs)              # [1, H, N, C]
-            return h_new, scaler.inverse_transform(y[0])
+            # single stream: [N, D] -> batch of 1; multi-stream:
+            # [S, N, D] IS the full-graph batch layout [b n f]
+            x_in = feat[None] if feat.ndim == 2 else feat
+            kwargs = {} if u_t is None else {
+                "u": u_t[None, None] if feat.ndim == 2
+                else u_t[:, None]}                 # [S, 1, F]
+            y = model.apply(params, x_in, training=False,
+                            **kwargs)              # [b, H, N, C]
+            y = scaler.inverse_transform(y)
+            return h_new, (y[0] if feat.ndim == 2 else y)
 
         self._step = _step
 
     def step(self, x_raw, u_t: Optional[jnp.ndarray] = None):
-        """Ingest one RAW observation ``[N, C]`` (+ optional global
-        exogenous ``[F]``); returns the forecast ``[H, N, C]`` in raw
-        units. One device dispatch."""
+        """Ingest one RAW observation ``[N, C]`` (``[S, N, C]`` with
+        ``n_streams``) plus optional global exogenous ``[F]``
+        (``[S, F]``); returns the forecast ``[H, N, C]``
+        (``[S, H, N, C]``) in raw units. One device dispatch."""
         self.state, y = self._step(self.params, self.state,
                                    jnp.asarray(x_raw), self._ops, u_t)
         return y
@@ -103,13 +117,19 @@ class OnlineForecaster:
         self.state = jax.tree.map(jnp.zeros_like, self.state)
 
     def warm_up(self, x_history):
-        """Replay a RAW history ``[T, N, C]`` through the full scan (one
-        dispatch, not T) to condition the RESERVOIR STATE before live
-        serving (exogenous inputs only affect the decoder, not the
-        state, so none are needed here)."""
-        x = self.scaler.transform(jnp.asarray(x_history))
-        _, h = self._res(x, h0=self.state, with_state=True)
-        self.state = h
+        """Replay a RAW history ``[T, N, C]`` (``[T, S, N, C]`` with
+        ``n_streams``) through the full scan (one dispatch, not T) to
+        condition the RESERVOIR STATE before live serving (exogenous
+        inputs only affect the decoder, not the state, so none are
+        needed here)."""
+        x_history = jnp.asarray(x_history)
+        x = self.scaler.transform(x_history).reshape(x_history.shape)
+        # the reservoir scan flattens all batch axes: states go through
+        # as [S*N, H] and come back reshaped
+        h0 = [h.reshape(-1, h.shape[-1]) for h in self.state]
+        _, h = self._res(x, h0=h0, with_state=True)
+        self.state = [hn.reshape(hs.shape)
+                      for hn, hs in zip(h, self.state)]
 
 
 def export_forecaster(fc: "OnlineForecaster", path: str) -> int:

@@ -92,3 +92,37 @@ def test_halo_correct_output_sharding(rng):
     with mesh:
         out = halo_khop(spec, xs, mesh, k=1, axis="model")
     assert len(out.addressable_shards) == 8
+
+
+def test_halo_spec_fuzz_matches_dense(rng):
+    """Seeded fuzz over graph sizes/densities/shard counts (incl.
+    explicit zero-weight edges, ragged tails, empty cross-blocks): the
+    CSR-built halo plan always reproduces dense K-hop propagation."""
+    for trial in range(12):
+        n = int(rng.integers(5, 49))
+        e = int(rng.integers(n, 6 * n))
+        src = rng.integers(0, n, e)
+        dst = rng.integers(0, n, e)
+        w = rng.random(e).astype(np.float32)
+        w[rng.random(e) < 0.15] = 0.0          # stored zeros
+        g = normalize_adj(coalesce(Graph(src, dst, w, n)), "row")
+        shards = int(rng.choice([2, 4, 8]))
+        k = int(rng.integers(1, 4))
+        mesh = make_mesh(8 // shards, shards)
+        spec = build_halo_spec(g, shards)
+        x = rng.standard_normal((6, n, 3)).astype(np.float32)
+        op = build_operator(g, "dense")
+        expect = jnp.asarray(x)
+        outs = []
+        for _ in range(k):
+            expect = op @ expect
+            outs.append(expect)
+        expect = np.asarray(jnp.concatenate(outs, -1))
+        xs = shard_nodes(jnp.asarray(x), mesh, "model")
+        with mesh:
+            got = halo_khop(spec, xs, mesh, k=k, axis="model",
+                            concat=True)
+        got = np.asarray(got)[:, :n, x.shape[-1]:]   # drop input block
+        np.testing.assert_allclose(got, expect, atol=3e-5,
+                                   err_msg=f"trial={trial} n={n} "
+                                           f"shards={shards} k={k}")

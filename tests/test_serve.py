@@ -144,3 +144,25 @@ def test_export_forecaster_roundtrip(rng, tmp_path):
         yb = loaded.step(x_raw[t])
         np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
                                    rtol=1e-6, atol=1e-7, err_msg=f"t={t}")
+
+
+def test_multi_stream_matches_independent(rng):
+    """n_streams=3 serves three independent streams in one dispatch ==
+    three separate single-stream forecasters."""
+    g, x_raw, enc, scaler, model, params = _setup(rng)
+    s = 3
+    streams = rng.standard_normal(
+        (12, s) + x_raw.shape[1:]).astype(np.float32)
+    fc_b = OnlineForecaster(enc, g, model, params, scaler, n_streams=s)
+    fc_b.warm_up(streams[:5])
+    singles = [OnlineForecaster(enc, g, model, params, scaler)
+               for _ in range(s)]
+    for i, f in enumerate(singles):
+        f.warm_up(streams[:5, i])
+    for t in range(5, 12):
+        yb = np.asarray(fc_b.step(streams[t]))       # [S, H, N, C]
+        assert yb.shape[0] == s
+        for i, f in enumerate(singles):
+            yi = np.asarray(f.step(streams[t, i]))
+            np.testing.assert_allclose(yb[i], yi, rtol=2e-5, atol=2e-5,
+                                       err_msg=f"t={t} stream={i}")
