@@ -536,7 +536,8 @@ def make_sharded_iid_eval(model, encoded, target, mask, item_starts,
     from jax import shard_map
     from sgp_tpu.ops.spmm import DenseOperator
     from sgp_tpu.parallel.halo import shard_nodes
-    from sgp_tpu.train.fused_window import pad_eval_items
+    from sgp_tpu.train.fused_window import (make_offset_gather,
+                                            pad_eval_items)
     from sgp_tpu.train.iid import unpack_iid_rows
 
     n_shards = mesh.shape[axis]
@@ -573,6 +574,8 @@ def make_sharded_iid_eval(model, encoded, target, mask, item_starts,
         u = jax.device_put(u, NamedSharding(mesh, P()))
 
     starts, ok_flags = pad_eval_items(item_starts, batch_size)
+    gw = make_offset_gather(window_offsets)
+    gh = make_offset_gather(horizon_offsets)
 
     node_spec = P(None, axis, None)
     repl = P()
@@ -607,9 +610,7 @@ def make_sharded_iid_eval(model, encoded, target, mask, item_starts,
 
         def body(state, inp):
             items, ok = inp                       # [B], [B] bool
-            w_steps = items[:, None] + w_off[None, :]
-            h_steps = items[:, None] + h_off[None, :]
-            x = enc[w_steps]                      # [B, W, Nl, F]
+            x = gw(enc, items)                    # [B, W, Nl, F]
             if unpack_targets:
                 b = x.shape[0]
                 _, y, m = unpack_iid_rows(
@@ -617,8 +618,8 @@ def make_sharded_iid_eval(model, encoded, target, mask, item_starts,
                 y = y.reshape(b, n_local, n_h, n_c).transpose(0, 2, 1, 3)
                 m = m.reshape(b, n_local, n_h, n_c).transpose(0, 2, 1, 3)
             else:
-                y = tgt[h_steps]
-                m = msk[h_steps]
+                y = gh(tgt, items)
+                m = gh(msk, items)
             m = m & ok[:, None, None, None]
             if x_slice is not None:
                 x = x[..., :x_slice]              # packed: feature lanes
@@ -645,8 +646,7 @@ def make_sharded_iid_eval(model, encoded, target, mask, item_starts,
                 x = jnp.concatenate(parts, -1)
             kwargs = {}
             if has_u:
-                uu = u_arr[w_steps]
-                kwargs["u"] = uu
+                kwargs["u"] = gw(u_arr, items)
             y_hat = model.apply(params, x, node_index=node_ids,
                                 training=False, **kwargs)
             y_hat = sc.inverse_transform(y_hat)

@@ -22,7 +22,40 @@ import numpy as np
 import optax
 
 from sgp_tpu.data.scalers import ScalerParams
+from sgp_tpu.train.iid import take_time_rows
 from sgp_tpu.train.metrics import MaskedMetrics, _METRIC_FNS, _masked_reduce
+
+
+def gather_steps(arr: jnp.ndarray, steps: jnp.ndarray) -> jnp.ndarray:
+    """``arr[steps]`` for a 2-D step-index matrix ``[B, W]`` as
+    slice-form time gathers: the generic fancy gather of big time-major
+    arrays runs ~10-15x slower on TPU (see ``train.iid.take_time_rows``)
+    — this lowers to the fast form. Returns ``[B, W, *arr.shape[1:]]``."""
+    b, w = steps.shape
+    rows = take_time_rows(arr, steps.reshape(-1))
+    return rows.reshape((b, w) + arr.shape[1:])
+
+
+def make_offset_gather(offsets):
+    """Build ``g(arr, items) -> [B, W, ...]`` for a STATIC offset
+    vector. Contiguous offsets (``arange``-like — every reference
+    window/horizon with lag 1) gather all W rows in ONE dynamic slice
+    per item instead of W separate row slices; anything else falls back
+    to :func:`gather_steps`."""
+    off = np.asarray(offsets)
+    w = len(off)
+    if w > 1 and np.all(np.diff(off) == 1):
+        base = int(off[0])
+
+        def g(arr, items):
+            return jax.vmap(lambda i: jax.lax.dynamic_slice_in_dim(
+                arr, i + base, w, axis=0))(items)
+        return g
+    off_j = jnp.asarray(off)
+
+    def g(arr, items):
+        return gather_steps(arr, items[:, None] + off_j[None, :])
+    return g
 
 
 def make_fused_window_step(model, optimizer,
@@ -45,24 +78,24 @@ def make_fused_window_step(model, optimizer,
     data = (x_full, target, mask, item_starts, window_offsets,
             horizon_offsets) + ((u,) if u is not None else ())
     has_u = u is not None
+    gw = make_offset_gather(window_offsets)   # contiguous: 1 slice/item
+    gh = make_offset_gather(horizon_offsets)
 
     def sample_and_loss(params, rng, data):
         xf, tgt, msk, starts, w_off, h_off = data[:6]
         rng_i, rng_d = jax.random.split(rng)
         items = jax.random.choice(rng_i, starts, (batch_size,))
-        w_steps = items[:, None] + w_off[None, :]
-        h_steps = items[:, None] + h_off[None, :]
-        x = xf[w_steps]                      # [B, W, N, Cin]
+        x = gw(xf, items)                    # [B, W, N, Cin]
         if support_ops is not None:
             parts = [x]
             for op in support_ops:
                 parts.append(op @ x)
             x = jnp.concatenate(parts, -1)
-        y = tgt[h_steps]
-        m = msk[h_steps]
+        y = gh(tgt, items)
+        m = gh(msk, items)
         kwargs = {}
         if has_u:
-            kwargs["u"] = data[6][w_steps]   # [B, W, F]
+            kwargs["u"] = gw(data[6], items)  # [B, W, F]
         y_hat = model.apply(params, x, training=True,
                             rngs={"dropout": rng_d}, **kwargs)
         if scale_target:
@@ -144,6 +177,8 @@ def make_fused_eval(model, x_full, target, mask,
     """
     starts, valid = pad_eval_items(item_starts, batch_size)
     has_u = u is not None
+    gw = make_offset_gather(window_offsets)
+    gh = make_offset_gather(horizon_offsets)
     data = (x_full, target, mask, starts, valid,
             jnp.asarray(window_offsets), jnp.asarray(horizon_offsets)) \
         + ((tuple(support_ops),) if support_ops is not None else ()) \
@@ -163,9 +198,7 @@ def make_fused_eval(model, x_full, target, mask,
 
         def body(state, inp):
             items, ok = inp                       # [B], [B] bool
-            w_steps = items[:, None] + w_off[None, :]
-            h_steps = items[:, None] + h_off[None, :]
-            x = xf[w_steps]                       # [B, W, N, C]
+            x = gw(xf, items)                     # [B, W, N, C]
             if x_slice is not None:
                 # x_full is a PACKED row layout (features first, then
                 # target/mask lanes — train/iid.py::pack_iid_data):
@@ -177,9 +210,9 @@ def make_fused_eval(model, x_full, target, mask,
                 for op in ops:
                     parts.append(op @ x)
                 x = jnp.concatenate(parts, -1)
-            y = tgt[h_steps]
-            m = msk[h_steps] & ok[:, None, None, None]
-            uu = None if u_arr is None else u_arr[w_steps]
+            y = gh(tgt, items)
+            m = gh(msk, items) & ok[:, None, None, None]
+            uu = None if u_arr is None else gw(u_arr, items)
             y_hat = apply_fn(params, x, uu)
             y_hat = scaler.inverse_transform(y_hat)
             return metrics.update(state, y_hat, y, m), None
