@@ -22,19 +22,35 @@ class ResidualWhitenessMonitor:
     """Rolling AZ-whiteness test over the last ``window`` residuals.
 
     Args:
-        edge_index: spatial topology ``[2, E]`` (or a ``Graph``).
+        edge_index: spatial topology ``[2, E]`` (or a ``Graph``, whose
+            edge weights are then used in the spatial statistic).
         window: number of most-recent steps tested.
         alpha: significance level — ``update`` reports
             ``flagged=True`` when the test's p-value drops below it.
         min_steps: don't test before this many residuals arrived.
+        edge_weight: ``[E]`` spatial edge weights (overrides a
+            ``Graph``'s; ignored weights default to 1.0 in the test).
     """
 
     def __init__(self, edge_index, window: int = 64,
-                 alpha: float = 0.05, min_steps: int = 8):
+                 alpha: float = 0.05, min_steps: int = 8,
+                 edge_weight=None):
         if hasattr(edge_index, "src"):          # a Graph
+            if edge_weight is None:
+                edge_weight = np.asarray(edge_index.weight, np.float64)
             edge_index = np.stack([np.asarray(edge_index.src),
                                    np.asarray(edge_index.dst)])
         self.edge_index = np.asarray(edge_index)
+        self.edge_weight = (None if edge_weight is None
+                            else np.asarray(edge_weight, np.float64))
+        if min_steps > window:
+            raise ValueError(
+                f"min_steps={min_steps} > window={window}: the rolling "
+                f"buffer caps at `window` residuals, so the monitor "
+                f"would never run a test")
+        if min_steps < 2:
+            raise ValueError("min_steps must be >= 2 (the temporal "
+                             "statistic needs consecutive residuals)")
         self.window = window
         self.alpha = alpha
         self.min_steps = min_steps
@@ -57,7 +73,8 @@ class ResidualWhitenessMonitor:
         if any(m is not None for m in self._mask):
             masks = np.stack([np.ones(x.shape[1:], bool) if m is None
                               else m for m in self._mask])
-        res = az_whiteness_test(x, self.edge_index, mask=masks)
+        res = az_whiteness_test(x, self.edge_index, mask=masks,
+                                edge_weight=self.edge_weight)
         res.flagged = res.pvalue < self.alpha
         self.last_result = res
         return res

@@ -419,6 +419,7 @@ def make_sharded_window_step(model, optimizer, x_full, target, mask,
     import optax
 
     from jax import shard_map
+    from sgp_tpu.train.fused_window import make_offset_gather
     from sgp_tpu.train.metrics import _METRIC_FNS, _masked_reduce
 
     n_shards = mesh.shape[axis]
@@ -427,41 +428,40 @@ def make_sharded_window_step(model, optimizer, x_full, target, mask,
     loss_pt = _METRIC_FNS[loss]
     has_u = u is not None
     repl = P()
+    gw = make_offset_gather(window_offsets)   # slice-form time gathers
+    gh = make_offset_gather(horizon_offsets)
 
     def put(a):
         return jax.device_put(jnp.asarray(a), NamedSharding(mesh, repl))
 
-    data = (put(x_full), put(target), put(mask), put(item_starts),
-            put(window_offsets), put(horizon_offsets)) \
+    data = (put(x_full), put(target), put(mask), put(item_starts)) \
         + ((jax.tree.map(put, tuple(support_ops)),)
            if support_ops is not None else ()) \
         + ((put(u),) if has_u else ())
     # prefix specs: one replicated P() per top-level entry covers the
     # operator pytree subtree too
-    data_specs = (repl,) * 6 \
+    data_specs = (repl,) * 4 \
         + ((repl,) if support_ops is not None else ()) \
         + ((repl,) if has_u else ())
 
     def local_loss(params, rng, data):
-        xf, tgt, msk, starts, w_off, h_off = data[:6]
-        ops = data[6] if support_ops is not None else None
+        xf, tgt, msk, starts = data[:4]
+        ops = data[4] if support_ops is not None else None
         u_arr = data[-1] if has_u else None
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         rng_i, rng_d = jax.random.split(rng)
         items = jax.random.choice(rng_i, starts, (local_bs,))
-        w_steps = items[:, None] + w_off[None, :]
-        h_steps = items[:, None] + h_off[None, :]
-        x = xf[w_steps]                          # [Bl, W, N, Cin]
+        x = gw(xf, items)                        # [Bl, W, N, Cin]
         if ops is not None:
             parts = [x]
             for op in ops:
                 parts.append(op @ x)
             x = jnp.concatenate(parts, -1)
-        y = tgt[h_steps]
-        m = msk[h_steps]
+        y = gh(tgt, items)
+        m = gh(msk, items)
         kwargs = {}
         if has_u:
-            kwargs["u"] = u_arr[w_steps]
+            kwargs["u"] = gw(u_arr, items)
         y_hat = model.apply(params, x, training=True,
                             rngs={"dropout": rng_d}, **kwargs)
         if scale_target:
@@ -586,12 +586,11 @@ def make_sharded_iid_eval(model, encoded, target, mask, item_starts,
         tuple(support_ops)),)
     data = (encoded,) \
         + ((target, mask) if has_tm else ()) \
-        + (starts, ok_flags, jnp.asarray(window_offsets),
-           jnp.asarray(horizon_offsets)) + ops_repl \
+        + (starts, ok_flags) + ops_repl \
         + ((u,) if has_u else ())
     data_specs = (node_spec,) \
         + ((node_spec, node_spec) if has_tm else ()) \
-        + (repl, repl, repl, repl) + ((repl,) if has_ops else ()) \
+        + (repl, repl) + ((repl,) if has_ops else ()) \
         + (((node_spec if u_node else repl),) if has_u else ())
 
     def local_eval(params, data):
@@ -600,8 +599,8 @@ def make_sharded_iid_eval(model, encoded, target, mask, item_starts,
         if has_tm:
             tgt, msk = data[i:i + 2]
             i += 2
-        st, okf, w_off, h_off = data[i:i + 4]
-        i += 4
+        st, okf = data[i:i + 2]
+        i += 2
         ops_d = data[i] if has_ops else None
         u_arr = data[-1] if has_u else None
         shard_id = jax.lax.axis_index(axis)

@@ -132,15 +132,25 @@ class OnlineForecaster:
                       for hn, hs in zip(h, self.state)]
 
 
-def export_forecaster(fc: "OnlineForecaster", path: str) -> int:
+def export_forecaster(fc: "OnlineForecaster", path: str,
+                      example_u=None) -> int:
     """Serialize the forecaster's fused step as a deployable artifact.
 
     Uses ``jax.export`` (StableHLO): the decoder params, propagation
     operators and scaler are EMBEDDED as constants, so the artifact is
     fully self-contained — serving needs no Python model/encoder code,
     only :func:`load_forecaster`. Signature: ``(state, x_raw) ->
-    (state', forecast)`` with the reservoir state managed by the
-    caller/wrapper. Returns the artifact size in bytes.
+    (state', forecast)`` — or ``(state, x_raw, u_t) -> ...`` when
+    ``example_u`` is given — with the reservoir state managed by the
+    caller/wrapper. Works for multi-stream (``n_streams``) forecasters:
+    the exported input keeps the ``[S, N, C]`` layout. Returns the
+    artifact size in bytes.
+
+    Args:
+        example_u: an exogenous input of the shape live ``step`` calls
+            will pass (``[F]``, or ``[S, F]`` with ``n_streams``) —
+            REQUIRED when the decoder was trained with exogenous
+            features (its values are ignored; only the shape is traced).
 
     Note: ``jax.export`` artifacts are platform-scoped — export on the
     platform you will serve on (a TPU artifact for TPU serving).
@@ -150,15 +160,30 @@ def export_forecaster(fc: "OnlineForecaster", path: str) -> int:
     from jax import export
 
     params, ops = fc.params, fc._ops
-    step = jax.jit(lambda h, x: fc._step(params, h, x, ops, None))
     f_in = fc._res.layers[0].w_ih.shape[1]
-    n = fc.state[0].shape[0]
-    example_x = jnp.zeros((n, f_in), jnp.float32)
-    exported = export.export(step)(fc.state, example_x)
+    # state is [N, H] per layer (or [S, N, H] multi-stream); the raw
+    # observation has the same leading axes with C = f_in channels
+    x_shape = tuple(fc.state[0].shape[:-1]) + (f_in,)
+    example_x = jnp.zeros(x_shape, jnp.float32)
+    if getattr(fc.model, "exog_size", 0) and example_u is None:
+        raise ValueError(
+            "the decoder was built with exog_size="
+            f"{fc.model.exog_size} — pass example_u (shape of the "
+            "live u_t) so the artifact's signature includes it")
+    if example_u is None:
+        step = jax.jit(lambda h, x: fc._step(params, h, x, ops, None))
+        exported = export.export(step)(fc.state, example_x)
+        u_shape = None
+    else:
+        u_shape = tuple(jnp.asarray(example_u).shape)
+        step = jax.jit(lambda h, x, u: fc._step(params, h, x, ops, u))
+        exported = export.export(step)(
+            fc.state, example_x, jnp.zeros(u_shape, jnp.float32))
     blob = {
         "artifact": exported.serialize(),
         "state_shapes": [tuple(h.shape) for h in fc.state],
-        "input_shape": (n, f_in),
+        "input_shape": x_shape,
+        "u_shape": u_shape,
     }
     import os
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -174,15 +199,25 @@ class ExportedForecaster:
     same ``step``/``reset`` surface as :class:`OnlineForecaster`, no
     model/encoder code needed."""
 
-    def __init__(self, exported, state_shapes, input_shape):
+    def __init__(self, exported, state_shapes, input_shape,
+                 u_shape=None):
         self._exported = exported
         self._state_shapes = state_shapes
         self.input_shape = input_shape
+        self.u_shape = u_shape
         self.reset()
 
-    def step(self, x_raw):
-        self.state, y = self._exported.call(self.state,
-                                            jnp.asarray(x_raw))
+    def step(self, x_raw, u_t=None):
+        if (u_t is None) != (self.u_shape is None):
+            raise ValueError(
+                "artifact exported "
+                + ("WITH" if self.u_shape is not None else "WITHOUT")
+                + f" exogenous input (u_shape={self.u_shape}); step() "
+                + "must match")
+        args = (self.state, jnp.asarray(x_raw))
+        if u_t is not None:
+            args += (jnp.asarray(u_t),)
+        self.state, y = self._exported.call(*args)
         return y
 
     def reset(self):
@@ -199,7 +234,8 @@ def load_forecaster(path: str) -> ExportedForecaster:
     with open(path, "rb") as fp:
         blob = pickle.load(fp)
     return ExportedForecaster(export.deserialize(blob["artifact"]),
-                              blob["state_shapes"], blob["input_shape"])
+                              blob["state_shapes"], blob["input_shape"],
+                              blob.get("u_shape"))
 
 
 class OnlineGESNForecaster:

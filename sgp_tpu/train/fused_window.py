@@ -75,14 +75,16 @@ def make_fused_window_step(model, optimizer,
     """Build ``step(params, opt_state, rng)``; with ``steps_per_call>1``
     the returned callable scans that many optimizer steps per dispatch."""
     loss_pt = _METRIC_FNS[loss]
-    data = (x_full, target, mask, item_starts, window_offsets,
-            horizon_offsets) + ((u,) if u is not None else ())
+    # the window/horizon offsets live only in the gw/gh closures (they
+    # are static specialization inputs, not runtime data)
+    data = (x_full, target, mask, item_starts) \
+        + ((u,) if u is not None else ())
     has_u = u is not None
     gw = make_offset_gather(window_offsets)   # contiguous: 1 slice/item
     gh = make_offset_gather(horizon_offsets)
 
     def sample_and_loss(params, rng, data):
-        xf, tgt, msk, starts, w_off, h_off = data[:6]
+        xf, tgt, msk, starts = data[:4]
         rng_i, rng_d = jax.random.split(rng)
         items = jax.random.choice(rng_i, starts, (batch_size,))
         x = gw(xf, items)                    # [B, W, N, Cin]
@@ -95,7 +97,7 @@ def make_fused_window_step(model, optimizer,
         m = gh(msk, items)
         kwargs = {}
         if has_u:
-            kwargs["u"] = gw(data[6], items)  # [B, W, F]
+            kwargs["u"] = gw(data[4], items)  # [B, W, F]
         y_hat = model.apply(params, x, training=True,
                             rngs={"dropout": rng_d}, **kwargs)
         if scale_target:
@@ -179,8 +181,7 @@ def make_fused_eval(model, x_full, target, mask,
     has_u = u is not None
     gw = make_offset_gather(window_offsets)
     gh = make_offset_gather(horizon_offsets)
-    data = (x_full, target, mask, starts, valid,
-            jnp.asarray(window_offsets), jnp.asarray(horizon_offsets)) \
+    data = (x_full, target, mask, starts, valid) \
         + ((tuple(support_ops),) if support_ops is not None else ()) \
         + ((u,) if has_u else ())
 
@@ -191,8 +192,8 @@ def make_fused_eval(model, x_full, target, mask,
 
     @jax.jit
     def _eval(params, data):
-        xf, tgt, msk, starts, valid, w_off, h_off = data[:7]
-        rest = data[7:]
+        xf, tgt, msk, starts, valid = data[:5]
+        rest = data[5:]
         ops = rest[0] if support_ops is not None else None
         u_arr = rest[-1] if has_u else None
 

@@ -566,7 +566,7 @@ def test_sharded_eval_unpack_targets_matches(rng):
             scaler, metrics, mesh, batch_size=4, x_slice=f,
             unpack_targets=True)
         got = got_ev(params)
-    assert len(got_ev.data) == 5      # packed + starts/ok/w/h, no tgt/msk
+    assert len(got_ev.data) == 3      # packed + starts/ok, no tgt/msk
     for k in ref:
         np.testing.assert_allclose(got[k], ref[k], rtol=1e-6, err_msg=k)
 

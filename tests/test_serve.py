@@ -146,6 +146,64 @@ def test_export_forecaster_roundtrip(rng, tmp_path):
                                    rtol=1e-6, atol=1e-7, err_msg=f"t={t}")
 
 
+def test_export_multi_stream_roundtrip(rng, tmp_path):
+    """n_streams forecasters export with the [S, N, C] input layout
+    (the stream axis must not be mistaken for the node axis)."""
+    from sgp_tpu.serve import export_forecaster, load_forecaster
+
+    g, x_raw, enc, scaler, model, params = _setup(rng)
+    s = 3
+    fc = OnlineForecaster(enc, g, model, params, scaler, n_streams=s)
+    path = str(tmp_path / "fc_ms.sgpserve")
+    export_forecaster(fc, path)
+    loaded = load_forecaster(path)
+    assert loaded.input_shape == (s, x_raw.shape[1], x_raw.shape[2])
+    streams = rng.standard_normal(
+        (4, s) + x_raw.shape[1:]).astype(np.float32)
+    for t in range(4):
+        ya = fc.step(streams[t])
+        yb = loaded.step(streams[t])
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                                   rtol=1e-6, atol=1e-7, err_msg=f"t={t}")
+
+
+def test_export_with_exog(rng, tmp_path):
+    """Exog-trained decoders: export without example_u raises a clear
+    error; with it, the artifact signature includes u and round-trips."""
+    import pytest
+
+    from sgp_tpu.serve import export_forecaster, load_forecaster
+
+    g, x_raw, enc, scaler, model, params = _setup(rng)
+    f_u = 2
+    model = SGPModel(input_size=enc.output_size, order=6,
+                     n_nodes=x_raw.shape[1], hidden_size=16, mlp_size=8,
+                     output_size=x_raw.shape[2], n_layers=1, horizon=3,
+                     positional_encoding=True, exog_size=f_u)
+    key = jax.random.PRNGKey(0)
+    params = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((1, x_raw.shape[1], enc.output_size)),
+        u=jnp.zeros((1, 1, f_u)))
+    fc = OnlineForecaster(enc, g, model, params, scaler)
+    path = str(tmp_path / "fc_u.sgpserve")
+    with pytest.raises(ValueError, match="exog"):
+        export_forecaster(fc, path)
+    export_forecaster(fc, path, example_u=np.zeros(f_u, np.float32))
+    loaded = load_forecaster(path)
+    assert loaded.u_shape == (f_u,)
+    with pytest.raises(ValueError, match="exogenous"):
+        loaded.step(x_raw[0])          # u required but missing
+    for t in range(4):
+        u_t = rng.standard_normal(f_u).astype(np.float32)
+        ya = fc.step(x_raw[t], u_t)
+        yb = loaded.step(x_raw[t], u_t)
+        # the exported StableHLO program may fuse differently than the
+        # live jit -> float-level (not bit-level) agreement
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                                   rtol=1e-5, atol=1e-6, err_msg=f"t={t}")
+
+
 def test_multi_stream_matches_independent(rng):
     """n_streams=3 serves three independent streams in one dispatch ==
     three separate single-stream forecasters."""
