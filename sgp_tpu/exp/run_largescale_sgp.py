@@ -275,8 +275,23 @@ def _run_restartable_fit(args, model, step, params, opt_state, key,
         logger.info(f"resumed from {ckpt_path} at epoch {start_epoch} "
                     f"(best_loss={best_loss:.4f})")
 
+    # fault injection for supervisor/restart testing (SURVEY §5.3):
+    # SGP_TPU_FAULT="epoch:N,marker:PATH" hard-kills the process at the
+    # start of epoch N unless PATH exists (created on the way out, so
+    # the fault fires exactly once across restarts)
+    fault = os.environ.get("SGP_TPU_FAULT", "")
+    fault_epoch, fault_marker = -1, ""
+    if fault:
+        parts = dict(p.split(":", 1) for p in fault.split(","))
+        fault_epoch, fault_marker = int(parts["epoch"]), parts["marker"]
+
     t0 = time.time()
     for epoch in range(start_epoch, args.epochs):
+        if epoch == fault_epoch and not os.path.exists(fault_marker):
+            with open(fault_marker, "w") as fp:
+                fp.write(str(epoch))
+            logger.info(f"FAULT INJECTION: dying at epoch {epoch}")
+            os._exit(13)
         key, k = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, k)
         loss = float(loss)
