@@ -142,9 +142,10 @@ def export_forecaster(fc: "OnlineForecaster", path: str,
     only :func:`load_forecaster`. Signature: ``(state, x_raw) ->
     (state', forecast)`` — or ``(state, x_raw, u_t) -> ...`` when
     ``example_u`` is given — with the reservoir state managed by the
-    caller/wrapper. Works for multi-stream (``n_streams``) forecasters:
-    the exported input keeps the ``[S, N, C]`` layout. Returns the
-    artifact size in bytes.
+    caller/wrapper. Works for multi-stream (``n_streams``) forecasters
+    (the exported input keeps the ``[S, N, C]`` layout) and for
+    :class:`OnlineGESNForecaster` (the DynGESN closed-form path).
+    Returns the artifact size in bytes.
 
     Args:
         example_u: an exogenous input of the shape live ``step`` calls
@@ -155,37 +156,48 @@ def export_forecaster(fc: "OnlineForecaster", path: str,
     Note: ``jax.export`` artifacts are platform-scoped — export on the
     platform you will serve on (a TPU artifact for TPU serving).
     """
+    import os
     import pickle
 
     from jax import export
 
-    params, ops = fc.params, fc._ops
-    f_in = fc._res.layers[0].w_ih.shape[1]
+    if isinstance(fc, OnlineGESNForecaster):
+        if example_u is not None:
+            raise ValueError("the DynGESN serving path takes no "
+                             "exogenous input")
+        op, w, b = fc._op, fc._w, fc._b
+        step = jax.jit(lambda h, x: fc._step_fn(h, x, op, w, b))
+        f_in = fc._gesn.layers[0].w_ih.shape[1]
+        u_shape = None
+    else:
+        params, ops = fc.params, fc._ops
+        f_in = fc._res.layers[0].w_ih.shape[1]
+        if getattr(fc.model, "exog_size", 0) and example_u is None:
+            raise ValueError(
+                "the decoder was built with exog_size="
+                f"{fc.model.exog_size} — pass example_u (shape of the "
+                "live u_t) so the artifact's signature includes it")
+        if example_u is None:
+            step = jax.jit(
+                lambda h, x: fc._step(params, h, x, ops, None))
+            u_shape = None
+        else:
+            u_shape = tuple(jnp.asarray(example_u).shape)
+            step = jax.jit(
+                lambda h, x, u: fc._step(params, h, x, ops, u))
+
     # state is [N, H] per layer (or [S, N, H] multi-stream); the raw
     # observation has the same leading axes with C = f_in channels
     x_shape = tuple(fc.state[0].shape[:-1]) + (f_in,)
-    example_x = jnp.zeros(x_shape, jnp.float32)
-    if getattr(fc.model, "exog_size", 0) and example_u is None:
-        raise ValueError(
-            "the decoder was built with exog_size="
-            f"{fc.model.exog_size} — pass example_u (shape of the "
-            "live u_t) so the artifact's signature includes it")
-    if example_u is None:
-        step = jax.jit(lambda h, x: fc._step(params, h, x, ops, None))
-        exported = export.export(step)(fc.state, example_x)
-        u_shape = None
-    else:
-        u_shape = tuple(jnp.asarray(example_u).shape)
-        step = jax.jit(lambda h, x, u: fc._step(params, h, x, ops, u))
-        exported = export.export(step)(
-            fc.state, example_x, jnp.zeros(u_shape, jnp.float32))
+    args = (fc.state, jnp.zeros(x_shape, jnp.float32)) + (
+        () if u_shape is None else (jnp.zeros(u_shape, jnp.float32),))
+    exported = export.export(step)(*args)
     blob = {
         "artifact": exported.serialize(),
         "state_shapes": [tuple(h.shape) for h in fc.state],
         "input_shape": x_shape,
         "u_shape": u_shape,
     }
-    import os
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "wb") as fp:
@@ -250,10 +262,13 @@ class OnlineGESNForecaster:
 
     ``readouts``: sequence of per-lag ``(W [D, C], b [C])`` as returned
     by ``train.ridge.closed_form_readout`` (one entry per horizon lag).
+    ``n_streams``: as in :class:`OnlineForecaster` — serve ``S``
+    independent streams per dispatch (``step`` takes/returns
+    ``[S, N, C]`` / ``[S, L, N, C]``).
     """
 
     def __init__(self, encoder, graph: Graph, readouts,
-                 scaler: ScalerParams):
+                 scaler: ScalerParams, n_streams: int = None):
         from sgp_tpu.graph import add_self_loops, normalize_adj
         from sgp_tpu.ops import build_operator
 
@@ -265,23 +280,27 @@ class OnlineGESNForecaster:
         b = jnp.stack([jnp.asarray(bl) for _, bl in readouts])  # [L,C]
         gesn = self._gesn
         n = graph.num_nodes
-        self.state = [jnp.zeros((n, p.w_hh.shape[0]), jnp.float32)
+        self.n_streams = n_streams
+        lead = () if n_streams is None else (n_streams,)
+        self.state = [jnp.zeros(lead + (n, p.w_hh.shape[0]), jnp.float32)
                       for p in gesn.layers]
 
         @jax.jit
         def _step(h, x_raw, op, w, b):
             x_t = scaler.transform(x_raw).reshape(x_raw.shape)
-            h_new = gesn.step(h, op, x_t)
-            hc = jnp.concatenate(h_new, -1)          # [N, D]
-            y = jnp.einsum("nd,ldc->lnc", hc, w) + b[:, None]
+            h_new = gesn.step(h, op, x_t)    # cell broadcasts [S, N, H]
+            hc = jnp.concatenate(h_new, -1)          # [(S,) N, D]
+            # lag readouts; b [L, C] -> [L, 1, C] broadcasts over nodes
+            y = jnp.einsum("...nd,ldc->...lnc", hc, w) + b[:, None]
             return h_new, scaler.inverse_transform(y)
 
         self._step_fn = _step
         self._w, self._b = w, b
 
     def step(self, x_raw):
-        """One RAW observation ``[N, C]`` -> all-lag forecasts
-        ``[L, N, C]`` in raw units. One device dispatch."""
+        """One RAW observation ``[N, C]`` (``[S, N, C]`` with
+        ``n_streams``) -> all-lag forecasts ``[L, N, C]``
+        (``[S, L, N, C]``) in raw units. One device dispatch."""
         self.state, y = self._step_fn(self.state, jnp.asarray(x_raw),
                                       self._op, self._w, self._b)
         return y

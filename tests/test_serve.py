@@ -146,6 +146,76 @@ def test_export_forecaster_roundtrip(rng, tmp_path):
                                    rtol=1e-6, atol=1e-7, err_msg=f"t={t}")
 
 
+def _gesn_setup(rng, n=12, t=30, f=1, lags=3):
+    from sgp_tpu.encode import GESNEncoder
+    from sgp_tpu.train import closed_form_readout
+
+    g = coalesce(Graph(rng.integers(0, n, 4 * n),
+                       rng.integers(0, n, 4 * n),
+                       rng.random(4 * n).astype(np.float32), n))
+    x_raw = rng.standard_normal((t, n, f)).astype(np.float32) * 2 - 0.5
+    scaler = ScalerParams(jnp.full((1, 1, f), -0.5),
+                          jnp.full((1, 1, f), 2.0))
+    enc = GESNEncoder(input_size=f, reservoir_size=5,
+                      reservoir_layers=2, seed=4)
+    x_scaled = scaler.transform(jnp.asarray(x_raw))
+    encoded = np.asarray(enc(x_scaled, g))
+    d = encoded.shape[-1]
+    tr = np.arange(t - lags)
+    readouts = closed_form_readout(
+        encoded[tr].reshape(-1, d),
+        [np.asarray(x_scaled)[tr + 1 + l].reshape(-1, f)
+         for l in range(lags)], alpha=0.3)
+    return g, x_raw, enc, scaler, readouts
+
+
+def test_gesn_multi_stream_matches_independent(rng):
+    """OnlineGESNForecaster n_streams: S streams in one dispatch == S
+    independent single-stream forecasters."""
+    from sgp_tpu.serve import OnlineGESNForecaster
+
+    g, x_raw, enc, scaler, readouts = _gesn_setup(rng)
+    s = 3
+    streams = rng.standard_normal(
+        (10, s) + x_raw.shape[1:]).astype(np.float32)
+    fc_b = OnlineGESNForecaster(enc, g, readouts, scaler, n_streams=s)
+    fc_b.warm_up(streams[:4])
+    singles = [OnlineGESNForecaster(enc, g, readouts, scaler)
+               for _ in range(s)]
+    for i, f in enumerate(singles):
+        f.warm_up(streams[:4, i])
+    for t in range(4, 10):
+        yb = np.asarray(fc_b.step(streams[t]))       # [S, L, N, C]
+        assert yb.shape[0] == s
+        for i, f in enumerate(singles):
+            yi = np.asarray(f.step(streams[t, i]))
+            np.testing.assert_allclose(yb[i], yi, rtol=2e-5, atol=2e-5,
+                                       err_msg=f"t={t} stream={i}")
+
+
+def test_export_gesn_roundtrip(rng, tmp_path):
+    """The DynGESN serving path exports/loads through the same
+    jax.export artifact format."""
+    import pytest
+
+    from sgp_tpu.serve import (OnlineGESNForecaster, export_forecaster,
+                               load_forecaster)
+
+    g, x_raw, enc, scaler, readouts = _gesn_setup(rng)
+    fc = OnlineGESNForecaster(enc, g, readouts, scaler)
+    path = str(tmp_path / "gesn.sgpserve")
+    with pytest.raises(ValueError, match="exogenous"):
+        export_forecaster(fc, path, example_u=np.zeros(2, np.float32))
+    export_forecaster(fc, path)
+    loaded = load_forecaster(path)
+    assert loaded.input_shape == (x_raw.shape[1], x_raw.shape[2])
+    for t in range(5):
+        ya = fc.step(x_raw[t])
+        yb = loaded.step(x_raw[t])
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                                   rtol=1e-5, atol=1e-6, err_msg=f"t={t}")
+
+
 def test_export_multi_stream_roundtrip(rng, tmp_path):
     """n_streams forecasters export with the [S, N, C] input layout
     (the stream axis must not be mistaken for the node axis)."""
