@@ -71,6 +71,11 @@ def configure_parser() -> argparse.ArgumentParser:
                         help="storage dtype for the encoding, e.g. "
                              "bfloat16 (halves HBM)")
     parser.add_argument("--encode-time-chunk", type=int, default=None)
+    parser.add_argument("--data-sharding", type=str, default="none",
+                        choices=("none", "batch"),
+                        help="'batch': data-parallel fused windowed "
+                             "training over all local devices (per-"
+                             "device window sampling, psum grads)")
     return parser
 
 
@@ -299,15 +304,30 @@ def _fit_fused(args, ds, split, model, predictor,
 
     from sgp_tpu.train.fused_window import make_fused_window_step
 
-    step = make_fused_window_step(
-        model, predictor.optimizer, dev["x"], dev["y"], dev["m"],
-        jnp.asarray(ds.indices()[split.train]),
-        jnp.asarray(ds.windowing.window_offsets()),
-        jnp.asarray(ds.windowing.horizon_offsets()),
-        ds.scaler_params(), u=dev["u"],
-        support_ops=support_ops, batch_size=args.batch_size,
-        scale_target=args.scale_target,
-        steps_per_call=batches_epoch or 300)
+    common = dict(u=dev["u"], support_ops=support_ops,
+                  batch_size=args.batch_size,
+                  scale_target=args.scale_target,
+                  steps_per_call=batches_epoch or 300)
+    fixed = (model, predictor.optimizer, dev["x"], dev["y"], dev["m"],
+             jnp.asarray(ds.indices()[split.train]),
+             jnp.asarray(ds.windowing.window_offsets()),
+             jnp.asarray(ds.windowing.horizon_offsets()),
+             ds.scaler_params())
+    if getattr(args, "data_sharding", "none") == "batch":
+        # multi-chip traffic training as a config change: per-device
+        # window sampling + psum loss/grads over all local devices
+        from sgp_tpu.parallel import make_mesh, make_sharded_window_step
+        n_dev = len(jax.devices())
+        if args.batch_size % n_dev:
+            raise ValueError(
+                f"--data-sharding batch needs batch_size "
+                f"({args.batch_size}) divisible by the device count "
+                f"({n_dev})")
+        logger.info(f"data-sharding=batch over {n_dev} devices")
+        step = make_sharded_window_step(*fixed, mesh=make_mesh(n_dev, 1),
+                                        **common)
+    else:
+        step = make_fused_window_step(*fixed, **common)
     # initialize params/steps through the standard path (propagate the
     # sample batch if the model expects support-expanded channels)
     first = ds.gather_batch(np.array([0, 1]))

@@ -209,6 +209,18 @@ def test_largescale_runner_data_sharding_multistep_window():
     assert np.isfinite(res["test_mae"])
 
 
+def test_traffic_runner_data_sharding_batch():
+    """--data-sharding batch on the traffic path: DP fused windowed
+    training over the 8-device CPU mesh runs end to end."""
+    from sgp_tpu.exp.run_traffic_sgp import (configure_parser,
+                                             run_experiment)
+
+    res = _run(run_experiment, configure_parser,
+               BASE + ["--fused", "true", "--data-sharding", "batch"])
+    assert np.isfinite(res["test_mae"])
+    assert np.isfinite(res["test_mse"])
+
+
 def test_imputation_runner():
     """GRIN imputation end to end: synthetic missingness injected, the
     whiten-masked trainer runs, and the learned imputation of the
