@@ -151,6 +151,20 @@ def add_common_args(parser: argparse.ArgumentParser):
     return parser
 
 
+def dp_mesh(args):
+    """``--data-sharding batch`` -> a data-parallel mesh over all local
+    devices for the loader-based Predictor (batches shard along the
+    sample dim, grads psum via XLA SPMD); ``None`` otherwise."""
+    if getattr(args, "data_sharding", "none") != "batch":
+        return None
+    import jax
+
+    from sgp_tpu.parallel import make_mesh
+    n = len(jax.devices())
+    logger.info(f"data-sharding=batch over {n} devices (Predictor DP)")
+    return make_mesh(n, 1)
+
+
 def dataset_kwargs(args) -> dict:
     if getattr(args, "dataset_name", "").startswith("synthetic"):
         return {"num_nodes": args.synthetic_nodes,

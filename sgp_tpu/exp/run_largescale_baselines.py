@@ -104,6 +104,7 @@ def run_experiment(args):
             num_nodes=num_sub, limit_batches=batches_epoch,
             seed=args.seed)
 
+    from sgp_tpu.exp.common import dp_mesh
     metrics = MaskedMetrics.forecasting()
     predictor = Predictor(
         model, loss="mae", lr=args.lr, weight_decay=args.l2_reg,
@@ -111,7 +112,7 @@ def run_experiment(args):
         lr_milestones=args.lr_milestones if args.use_lr_schedule else None,
         lr_gamma=args.lr_gamma, steps_per_epoch=batches_epoch,
         scale_target=args.scale_target, metrics=metrics,
-        batch_to_call=to_call, seed=args.seed)
+        batch_to_call=to_call, seed=args.seed, mesh=dp_mesh(args))
 
     infer_bs = args.batch_inference or args.batch_size
     test_loader = WindowedLoader(ds, split.test, batch_size=infer_bs)

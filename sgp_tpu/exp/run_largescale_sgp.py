@@ -576,7 +576,7 @@ def run_experiment_stratified(args):
 
 def configure_parser_largescale():
     from sgp_tpu.exp.common import str2bool
-    parser = configure_parser()
+    parser = configure_parser(data_sharding_choices=None)
     parser.add_argument("--iid-stratified", type=str2bool, default=False)
     parser.add_argument("--times-per-batch", type=int, default=32)
     parser.add_argument("--data-sharding", type=str, default="none",

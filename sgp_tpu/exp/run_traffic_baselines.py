@@ -60,6 +60,11 @@ def configure_parser() -> argparse.ArgumentParser:
                         default=True)
     parser.add_argument("--num-subgraph-nodes", type=int, default=None)
     parser.add_argument("--subgraph-k", type=int, default=2)
+    parser.add_argument("--data-sharding", type=str, default="none",
+                        choices=("none", "batch"),
+                        help="'batch': data-parallel Predictor over all "
+                             "local devices (batches shard along the "
+                             "sample dim, grads psum via XLA SPMD)")
     return parser
 
 
@@ -203,6 +208,7 @@ def run_experiment(args):
     batches_epoch = args.batches_epoch if args.batches_epoch > 0 else None
     metrics = MaskedMetrics.forecasting(
         {"15": 2, "30": 5, "60": 11} if args.horizon == 12 else {})
+    from sgp_tpu.exp.common import dp_mesh
     predictor = Predictor(
         model, loss="mae", lr=args.lr, weight_decay=args.l2_reg,
         grad_clip=args.grad_clip_val,
@@ -211,7 +217,7 @@ def run_experiment(args):
         steps_per_epoch=batches_epoch or max(
             1, len(split.train) // args.batch_size),
         scale_target=args.scale_target, metrics=metrics,
-        batch_to_call=to_call, seed=args.seed)
+        batch_to_call=to_call, seed=args.seed, mesh=dp_mesh(args))
 
     train_loader = WindowedLoader(ds, split.train,
                                   batch_size=args.batch_size,

@@ -27,7 +27,8 @@ from sgp_tpu.train import MaskedMetrics, Predictor
 from sgp_tpu.utils.logging import logger
 
 
-def configure_parser() -> argparse.ArgumentParser:
+def configure_parser(data_sharding_choices=("none", "batch")
+                     ) -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser()
     add_common_args(parser)
     parser.add_argument("--encoder-name", type=str, default="sgp")
@@ -71,11 +72,14 @@ def configure_parser() -> argparse.ArgumentParser:
                         help="storage dtype for the encoding, e.g. "
                              "bfloat16 (halves HBM)")
     parser.add_argument("--encode-time-chunk", type=int, default=None)
-    parser.add_argument("--data-sharding", type=str, default="none",
-                        choices=("none", "batch"),
-                        help="'batch': data-parallel fused windowed "
-                             "training over all local devices (per-"
-                             "device window sampling, psum grads)")
+    if data_sharding_choices:
+        parser.add_argument(
+            "--data-sharding", type=str, default="none",
+            choices=data_sharding_choices,
+            help="'batch': data-parallel fused windowed training over "
+                 "all local devices (per-device window sampling, psum "
+                 "grads); 'nodes' (large-scale runner): node-shard the "
+                 "big arrays, 1/n HBM per chip")
     return parser
 
 

@@ -54,8 +54,17 @@ class Predictor:
                  scale_target: bool = False,
                  metrics: Optional[MaskedMetrics] = None,
                  batch_to_call: Optional[Callable] = None,
-                 seed: int = 0):
+                 seed: int = 0,
+                 mesh=None):
+        """``mesh``: a ``jax.sharding.Mesh`` with a ``data`` axis turns
+        every loader-based step data-parallel — batches are sharded
+        along the sample dim, params/optimizer replicated, and XLA's
+        SPMD partitioner inserts the gradient/metric reductions. Works
+        for ANY model/batch layout the Predictor handles (incl.
+        subgraph batches); ragged tail batches fall back to replicated
+        placement (identical math)."""
         self.model = model
+        self.mesh = mesh
         self.loss_kind = loss
         self.scale_target = scale_target
         self.metrics = metrics or MaskedMetrics.forecasting()
@@ -100,6 +109,13 @@ class Predictor:
         self.params = _init({"params": init_rng, "dropout": drop_rng},
                             args, dyn_kw)
         self.opt_state = self.optimizer.init(self.params)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            repl = NamedSharding(self.mesh, PartitionSpec())
+            put = lambda t: jax.tree.map(
+                lambda p: jax.device_put(p, repl), t)
+            self.params = put(self.params)
+            self.opt_state = put(self.opt_state)
         n_params = sum(int(np.prod(p.shape))
                        for p in jax.tree_util.tree_leaves(self.params))
         logger.info(f"Initialized model with {n_params:,} parameters")
@@ -168,13 +184,38 @@ class Predictor:
         self._predict_step = predict_step
 
     # -- loops -------------------------------------------------------------
+    def _place(self, batch):
+        """Host batch -> device: entries with the sample-leading dim
+        shard over the mesh's ``data`` axis, everything else (shared
+        per-batch subgraph arrays, node_index, scalers) replicates.
+        Ragged tail batches replicate entirely — identical math, XLA
+        just skips the partitioning. No mesh: plain device arrays."""
+        if self.mesh is None:
+            return _to_device(batch)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n = self.mesh.shape["data"]
+        b = np.shape(batch["x"])[0]
+
+        def put(k, v):
+            if isinstance(v, ScalerParams):
+                return jax.tree.map(
+                    lambda p: jax.device_put(
+                        p, NamedSharding(self.mesh, P())), v)
+            arr = jnp.asarray(v)
+            spec = P("data", *([None] * (arr.ndim - 1))) \
+                if (b % n == 0 and arr.ndim and arr.shape[0] == b) \
+                else P()
+            return jax.device_put(arr, NamedSharding(self.mesh, spec))
+
+        return {k: put(k, v) for k, v in batch.items()}
+
     def train_epoch(self, loader) -> float:
         assert self.params is not None, "call init() first"
         total, count = 0.0, 0
         for batch in loader:
             self.rng, step_rng = jax.random.split(self.rng)
             self.params, self.opt_state, loss = self._train_step(
-                self.params, self.opt_state, _to_device(batch), step_rng)
+                self.params, self.opt_state, self._place(batch), step_rng)
             total += float(loss)
             count += 1
         return total / max(count, 1)
@@ -182,13 +223,13 @@ class Predictor:
     def evaluate(self, loader, prefix: str = "") -> Dict[str, float]:
         state = self.metrics.init()
         for batch in loader:
-            state = self._eval_step(self.params, state, _to_device(batch))
+            state = self._eval_step(self.params, state, self._place(batch))
         out = self.metrics.compute(state)
         return {f"{prefix}{k}": v for k, v in out.items()}
 
     def predict(self, loader) -> np.ndarray:
         return np.concatenate(
-            [np.asarray(self._predict_step(self.params, _to_device(b)))
+            [np.asarray(self._predict_step(self.params, self._place(b)))
              for b in loader], axis=0)
 
     def predict_loader(self, loader):
@@ -197,7 +238,7 @@ class Predictor:
         ``(y, y_hat, mask)`` numpy arrays concatenated over batches."""
         ys, yhs, ms = [], [], []
         for b in loader:
-            db = _to_device(b)
+            db = self._place(b)
             yhs.append(np.asarray(self._predict_step(self.params, db)))
             ys.append(np.asarray(b["y"]))
             ms.append(None if b.get("mask") is None

@@ -610,3 +610,80 @@ def test_sharded_eval_support_ops_matches_fused(rng):
             support_ops=ops)(params)
     for k in ref:
         np.testing.assert_allclose(got[k], ref[k], rtol=2e-5, err_msg=k)
+
+
+def test_predictor_mesh_dp_matches_single(rng):
+    """Predictor(mesh=...) generic data parallelism: batch-sharded fit
+    over the 8-device mesh reproduces the single-device fit (XLA GSPMD
+    inserts the reductions; float-level agreement — reduction order may
+    differ across shardings). Also covers the ragged-tail replicated
+    fallback (the last loader batch)."""
+    from sgp_tpu.data import (SpatioTemporalDataset, StandardScaler,
+                              WindowedLoader, Windowing)
+    from sgp_tpu.models import RNNModel
+    from sgp_tpu.train import Predictor
+
+    data = rng.standard_normal((90, 6, 1)).astype(np.float32) + 2
+    ds = SpatioTemporalDataset(
+        data, windowing=Windowing(window=4, horizon=2))
+    ds.fit_scaler(StandardScaler(axis=(0, 1)))
+    items = np.arange(20)
+
+    def fit(mesh):
+        p = Predictor(RNNModel(output_size=1, horizon=2, hidden_size=8,
+                               ff_size=8),
+                      lr=1e-2, seed=0, mesh=mesh)
+        # batch 8 divides the mesh; 20 items -> ragged last batch of 4
+        tr = WindowedLoader(ds, items, batch_size=8, shuffle=True,
+                            seed=3)
+        va = WindowedLoader(ds, items, batch_size=8)
+        p.fit(tr, va, epochs=2, scaler=ds.scaler_params())
+        return p.evaluate(va)
+
+    single = fit(None)
+    dp = fit(make_mesh(8, 1))
+    for k in single:
+        np.testing.assert_allclose(dp[k], single[k], rtol=2e-5,
+                                   err_msg=k)
+
+
+def test_predictor_mesh_dp_subgraph_batches(rng):
+    """The DP mesh also handles subgraph batches (padded node/edge
+    arrays + root-only loss via target_nodes)."""
+    from sgp_tpu.data import SpatioTemporalDataset, Windowing
+    from sgp_tpu.data.subgraph import SubgraphLoader
+    from sgp_tpu.models.gated_gn import GatedGraphNetworkMLPModel
+    from sgp_tpu.train import Predictor
+
+    n = 16
+    g = graph(rng, n)
+    data = rng.standard_normal((60, n, 1)).astype(np.float32)
+    ds = SpatioTemporalDataset(
+        data, graph=g, windowing=Windowing(window=3, horizon=2))
+    model = GatedGraphNetworkMLPModel(
+        input_window_size=3, hidden_size=8, output_size=1, horizon=2,
+        n_nodes=n, enc_layers=1, gnn_layers=1,
+        positional_encoding=True)
+
+    def to_call(batch, training):
+        return (batch["x"],), {
+            "src": batch["sub_src"], "dst": batch["sub_dst"],
+            "node_index": batch.get("node_index"),
+            "edge_mask": batch["sub_weight"] != 0, "training": training}
+
+    def loader():
+        return SubgraphLoader(ds, np.arange(16), batch_size=8,
+                              num_roots=4, k=1, max_edges=64,
+                              pad_nodes=12, seed=5, shuffle=False)
+
+    def fit(mesh):
+        p = Predictor(model, lr=1e-2, seed=0, mesh=mesh,
+                      batch_to_call=to_call)
+        p.fit(loader(), epochs=2)
+        return p.evaluate(loader())
+
+    single = fit(None)
+    dp = fit(make_mesh(8, 1))
+    for k in single:
+        np.testing.assert_allclose(dp[k], single[k], rtol=2e-5,
+                                   err_msg=k)

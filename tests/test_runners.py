@@ -221,6 +221,40 @@ def test_traffic_runner_data_sharding_batch():
     assert np.isfinite(res["test_mse"])
 
 
+def test_traffic_baselines_runner_dp():
+    """Loader-based baseline training under the generic Predictor DP
+    mesh (--data-sharding batch): full pipeline on the 8-device mesh."""
+    from sgp_tpu.exp.run_traffic_baselines import (configure_parser,
+                                                   run_experiment)
+
+    res = _run(run_experiment, configure_parser,
+               ["--dataset-name", "synthetic", "--synthetic-nodes", "12",
+                "--synthetic-steps", "160", "--epochs", "2",
+                "--batches-epoch", "2", "--hidden-size", "8",
+                "--ff-size", "8", "--batch-size", "8", "--window", "4",
+                "--horizon", "3", "--seed", "0", "--patience", "5",
+                "--model-name", "rnn", "--data-sharding", "batch"])
+    assert np.isfinite(res["test_mae"])
+
+
+def test_largescale_baselines_runner_dp():
+    """Subgraph-sampled GNN baseline under the Predictor DP mesh:
+    shared per-batch subgraph arrays replicate, sample tensors shard."""
+    from sgp_tpu.exp.run_largescale_baselines import run_experiment
+    from sgp_tpu.exp.run_traffic_baselines import configure_parser
+
+    res = _run(run_experiment, configure_parser,
+               ["--dataset-name", "synthetic", "--synthetic-nodes", "16",
+                "--synthetic-steps", "160", "--epochs", "2",
+                "--batches-epoch", "2", "--hidden-size", "8",
+                "--ff-size", "8", "--batch-size", "8", "--window", "4",
+                "--horizon", "3", "--seed", "0", "--patience", "5",
+                "--model-name", "gatedgn", "--num-subgraph-nodes", "6",
+                "--subgraph-k", "1", "--max-edges", "64",
+                "--data-sharding", "batch"])
+    assert np.isfinite(res["test_mae"])
+
+
 def test_imputation_runner():
     """GRIN imputation end to end: synthetic missingness injected, the
     whiten-masked trainer runs, and the learned imputation of the
