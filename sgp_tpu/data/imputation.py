@@ -51,10 +51,21 @@ def add_missing_values(dataset: SpatioTemporalDataset, p_fault: float = 0.0015,
 
 
 class ImputationDataset(SpatioTemporalDataset):
-    """Windowed imputation view (``tsl/data/imputation_stds.py``): input
-    is the series with ``eval_mask`` points zeroed; target is the raw
-    series; the loss mask is the eval mask (reconstruct what was
-    hidden)."""
+    """Windowed imputation view (``tsl/data/imputation_stds.py``).
+
+    Batch contract — the SAME one ``train/imputer.py::
+    make_imputer_train_step`` consumes (one contract, not two):
+
+    - ``x``: the window with hidden (``eval_mask``) points zeroed —
+      hidden values are never visible to the model;
+    - ``y``: the raw window (ground truth, incl. hidden values) — the
+      reconstruction target;
+    - ``mask``: the TRAINING-observed mask, valid & ~eval — what the
+      model may condition on (the trainer whitens a further random
+      subset of it);
+    - ``eval_mask``: the synthetically-hidden points — scored by the
+      loss and by evaluation.
+    """
 
     def gather_batch(self, item_idx, node_index=None) -> Batch:
         batch = super().gather_batch(item_idx, node_index=node_index)
@@ -65,11 +76,16 @@ class ImputationDataset(SpatioTemporalDataset):
         w_steps = starts[:, None] + w.window_offsets()[None, :]
         ev = self.covariates["eval_mask"].value.astype(bool)
         ev_w = ev[w_steps]
+        valid_w = self.mask[w_steps].astype(bool)
+        y_w = self.target[w_steps]
         if node_index is not None:
-            ev_w = ev_w[..., np.asarray(node_index), :]
+            ni = np.asarray(node_index)
+            ev_w = ev_w[..., ni, :]
+            valid_w = valid_w[..., ni, :]
+            y_w = y_w[..., ni, :]
         batch["x"] = np.where(ev_w, 0.0, batch["x"])
-        # imputation target: the window itself, masked to hidden points
-        batch["y"] = self.target[w_steps] if node_index is None else \
-            self.target[w_steps][..., np.asarray(node_index), :]
-        batch["mask"] = ev_w
+        # imputation target: the raw window itself
+        batch["y"] = y_w
+        batch["mask"] = valid_w & ~ev_w
+        batch["eval_mask"] = ev_w
         return batch

@@ -63,15 +63,6 @@ def configure_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def _gather_windows(ds, eval_mask, items):
-    """Host-side window gather -> raw x / valid mask / hidden mask,
-    each ``[B, W, N, C]``."""
-    w_steps = (ds.indices()[np.asarray(items)][:, None]
-               + ds.windowing.window_offsets()[None, :])
-    return (ds.target[w_steps], ds.mask[w_steps].astype(bool),
-            eval_mask[w_steps])
-
-
 def run_experiment(args):
     if args.model_name != "grin":
         raise ValueError(f"Model {args.model_name} not available.")
@@ -91,6 +82,15 @@ def run_experiment(args):
     ev = ds.covariates["eval_mask"].value.astype(bool)
     split = get_splitter(args.dataset_name, args.val_len,
                          args.test_len).split(ds)
+
+    def scaled_batch(items):
+        """``ImputationDataset.gather_batch`` (the one imputation batch
+        contract) with x/y moved into scaled space."""
+        b = ds.gather_batch(np.asarray(items))
+        return {"x": jnp.asarray(sp.transform(jnp.asarray(b["x"]))),
+                "y": jnp.asarray(sp.transform(jnp.asarray(b["y"]))),
+                "mask": jnp.asarray(b["mask"]),
+                "eval_mask": jnp.asarray(b["eval_mask"])}
 
     # scaler fit on the TRAINING mask (observed minus hidden — the
     # hidden points' values must not leak into the statistics)
@@ -112,11 +112,10 @@ def run_experiment(args):
                                         "training": training}
 
     key = jax.random.PRNGKey(args.seed)
-    x0, m0, ev0 = _gather_windows(ds, ev, np.arange(
-        min(args.batch_size, len(split.train))))
-    params = model.init({"params": key, "dropout": key},
-                        jnp.asarray(sp.transform(jnp.asarray(x0))),
-                        supports, mask=jnp.asarray(m0, jnp.float32))
+    b0 = scaled_batch(np.arange(min(args.batch_size, len(split.train))))
+    params = model.init({"params": key, "dropout": key}, b0["x"],
+                        supports,
+                        mask=b0["mask"].astype(jnp.float32))
 
     batches_epoch = (args.batches_epoch if args.batches_epoch > 0
                      else max(1, len(split.train) // args.batch_size))
@@ -148,10 +147,11 @@ def run_experiment(args):
         abs_s = sq_s = ref_s = cnt = 0.0
         bs = args.batch_inference or args.batch_size
         for lo in range(0, len(items), bs):
-            x_raw, m, e = _gather_windows(ds, ev, items[lo:lo + bs])
+            b = ds.gather_batch(np.asarray(items[lo:lo + bs]))
+            x_raw, e = b["y"], b["eval_mask"]
             y_hat = np.asarray(_infer(
-                params, jnp.asarray(sp.transform(jnp.asarray(x_raw))),
-                jnp.asarray(m & ~e)))
+                params, jnp.asarray(sp.transform(jnp.asarray(b["x"]))),
+                jnp.asarray(b["mask"])))
             err = np.where(e, y_hat - x_raw, 0.0)
             abs_s += np.abs(err).sum()
             sq_s += (err ** 2).sum()
@@ -168,12 +168,7 @@ def run_experiment(args):
         losses = []
         for _ in range(batches_epoch):
             items = rng.choice(split.train, args.batch_size)
-            x_raw, m, e = _gather_windows(ds, ev, items)
-            batch = {
-                "x": jnp.asarray(sp.transform(jnp.asarray(x_raw))),
-                "mask": jnp.asarray(m & ~e),      # training-observed
-                "eval_mask": jnp.asarray(e),
-            }
+            batch = scaled_batch(items)
             key, k2 = jax.random.split(key)
             params, opt_state, loss = step(params, opt_state, batch, k2)
             losses.append(float(loss))

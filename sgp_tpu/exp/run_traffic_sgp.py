@@ -246,6 +246,16 @@ def run_experiment(args):
 
     fused = (args.fused and args.model_name == "sgp"
              and not args.iid_sampling)
+    if getattr(args, "data_sharding", "none") == "batch" and not fused:
+        # fail loudly instead of silently training single-device (the
+        # DP windowed trainer only backs the fused SGP path here; the
+        # loader-based models take --data-sharding batch on the
+        # baseline runners via Predictor(mesh=...))
+        raise ValueError(
+            "--data-sharding batch on run_traffic_sgp requires the "
+            "fused SGP path (--fused true, --model-name sgp, "
+            "--iid-sampling false); for loader-based baselines use "
+            "run_traffic_baselines --data-sharding batch")
     if fused:
         dev = _device_arrays(ds)   # upload the full series ONCE: train
         #                            step and both fused evals share it

@@ -57,27 +57,40 @@ def _with_resume(cmd):
 
 def _kill_group(proc):
     """Terminate the child's process group by pgid, escalating to
-    SIGKILL. Never kills by name/pattern."""
-    try:
-        pgid = os.getpgid(proc.pid)
-    except ProcessLookupError:
-        return
+    SIGKILL. Never kills by name/pattern. Works after the leader has
+    already been reaped (``start_new_session=True`` makes pgid ==
+    ``proc.pid``), so crash cleanup can sweep surviving group members
+    — an orphan holding the TPU tunnel would poison every restart."""
+    pgid = proc.pid   # session leader: pgid == pid, valid post-reap
     for sig, wait_s in ((signal.SIGTERM, 10.0), (signal.SIGKILL, 30.0)):
         try:
             os.killpg(pgid, sig)
         except ProcessLookupError:
-            return
+            return   # no group members left
         deadline = time.time() + wait_s
         while time.time() < deadline:
-            if proc.poll() is not None:
+            try:
+                os.killpg(pgid, 0)   # probe: any member still alive?
+            except ProcessLookupError:
                 return
             time.sleep(0.2)
 
 
 def supervise(cmd, max_restarts: int = 3, hang_timeout: float = 1800.0,
-              restart_delay: float = 30.0) -> int:
+              restart_delay: float = 30.0,
+              require_checkpoint: bool = True) -> int:
     """Run ``cmd`` under crash/hang supervision; returns the final exit
     code (0 on eventual success)."""
+    if require_checkpoint and "--checkpoint-path" not in cmd:
+        # without an explicit path the runner checkpoints into a fresh
+        # timestamped logdir per invocation, so every --resume restart
+        # would silently start from epoch 0 and replay the same crash
+        raise ValueError(
+            "supervise: the command has no --checkpoint-path; restarts "
+            "could not resume (each invocation writes its checkpoint "
+            "into a NEW timestamped logdir). Add --checkpoint-every/"
+            "--checkpoint-path to the command, or pass "
+            "--allow-no-checkpoint to supervise restart-from-scratch.")
     attempt = 0
     while True:
         argv = cmd if attempt == 0 else _with_resume(cmd)
@@ -118,6 +131,11 @@ def supervise(cmd, max_restarts: int = 3, hang_timeout: float = 1800.0,
         if rc == 0 and not hung:
             logger.info(f"supervise: success after {attempt} restart(s)")
             return 0
+        if not hung:
+            # crash path: the leader died but helpers it spawned in its
+            # session may survive — sweep the group before restarting
+            # (an orphan holding the TPU poisons the tunnel session)
+            _kill_group(proc)
         attempt += 1
         if attempt > max_restarts:
             logger.error(
@@ -139,6 +157,10 @@ def main(argv=None):
                         help="seconds without child output before the "
                              "run is declared hung (0 disables)")
     parser.add_argument("--restart-delay", type=float, default=30.0)
+    parser.add_argument("--allow-no-checkpoint", action="store_true",
+                        help="supervise a command without "
+                             "--checkpoint-path (restarts re-run from "
+                             "scratch instead of resuming)")
     parser.add_argument("cmd", nargs=argparse.REMAINDER,
                         help="-- followed by the training command")
     args = parser.parse_args(argv)
@@ -147,9 +169,13 @@ def main(argv=None):
         cmd = cmd[1:]
     if not cmd:
         parser.error("no command given (append: -- python -m ...)")
-    return supervise(cmd, max_restarts=args.max_restarts,
-                     hang_timeout=args.hang_timeout,
-                     restart_delay=args.restart_delay)
+    try:
+        return supervise(cmd, max_restarts=args.max_restarts,
+                         hang_timeout=args.hang_timeout,
+                         restart_delay=args.restart_delay,
+                         require_checkpoint=not args.allow_no_checkpoint)
+    except ValueError as e:
+        parser.error(str(e))
 
 
 if __name__ == "__main__":

@@ -44,7 +44,9 @@ def make_imputer_train_step(model, optimizer, batch_to_call: Callable,
         args, kwargs = batch_to_call(batch_in, True)
         merged, (imp_f, pred_f), (imp_b, pred_b) = model.apply(
             params, *args, **kwargs)
-        y = batch.get("y_raw", x)
+        # ground truth: ImputationDataset.gather_batch's ``y`` (raw
+        # window; at eval_mask points x is zeroed, y holds the value)
+        y = batch.get("y", x)
 
         def trimmed(v):
             return v[:, warm_up:] if warm_up else v

@@ -183,9 +183,17 @@ class Predictor:
         self._eval_step = eval_step
         self._predict_step = predict_step
 
+    # Batch entries whose leading dim is the SAMPLE dim (shardable for
+    # DP). Everything else (node_index, target_nodes, sub_* edge arrays,
+    # scalers) is shared per-batch state and replicates — membership is
+    # by key, not by shape, so a subgraph array whose length happens to
+    # coincide with the batch size is never mis-sharded.
+    _SAMPLE_DIM_KEYS = frozenset(
+        {"x", "y", "mask", "u", "u_horizon", "eval_mask"})
+
     # -- loops -------------------------------------------------------------
     def _place(self, batch):
-        """Host batch -> device: entries with the sample-leading dim
+        """Host batch -> device: sample-dim entries (``_SAMPLE_DIM_KEYS``)
         shard over the mesh's ``data`` axis, everything else (shared
         per-batch subgraph arrays, node_index, scalers) replicates.
         Ragged tail batches replicate entirely — identical math, XLA
@@ -203,14 +211,30 @@ class Predictor:
                         p, NamedSharding(self.mesh, P())), v)
             arr = jnp.asarray(v)
             spec = P("data", *([None] * (arr.ndim - 1))) \
-                if (b % n == 0 and arr.ndim and arr.shape[0] == b) \
+                if (k in self._SAMPLE_DIM_KEYS and b % n == 0
+                    and arr.ndim and arr.shape[0] == b) \
                 else P()
             return jax.device_put(arr, NamedSharding(self.mesh, spec))
 
         return {k: put(k, v) for k, v in batch.items()}
 
+    def _check_dp_batch_size(self, loader):
+        """DP must actually shard: a batch size not divisible by the
+        device count would silently replicate EVERY batch (the
+        replicated fallback exists for the ragged tail only)."""
+        if self.mesh is None:
+            return
+        n = self.mesh.shape["data"]
+        bs = getattr(loader, "batch_size", None)
+        if bs is not None and bs % n:
+            raise ValueError(
+                f"Predictor DP: batch_size ({bs}) must be divisible by "
+                f"the mesh's data-axis size ({n}) — otherwise every "
+                f"batch falls back to fully-replicated execution")
+
     def train_epoch(self, loader) -> float:
         assert self.params is not None, "call init() first"
+        self._check_dp_batch_size(loader)
         total, count = 0.0, 0
         for batch in loader:
             self.rng, step_rng = jax.random.split(self.rng)

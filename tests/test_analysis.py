@@ -98,6 +98,11 @@ def test_imputation_dataset(rng):
     assert (np.asarray(b.x)[0][ev[0:8]] == 0).all()
     # target is the raw window
     np.testing.assert_allclose(b.y[1], data[3:11])
+    # trainer contract: mask = training-observed (valid & ~eval),
+    # eval_mask = the hidden points
+    np.testing.assert_array_equal(b["eval_mask"][0], ev[0:8])
+    np.testing.assert_array_equal(b["mask"][0], ~ev[0:8])
+    assert not (b["mask"] & b["eval_mask"]).any()
 
 
 def test_temporal_aggregate(rng):

@@ -647,6 +647,27 @@ def test_predictor_mesh_dp_matches_single(rng):
                                    err_msg=k)
 
 
+def test_predictor_dp_rejects_indivisible_batch_size(rng):
+    """A batch size not divisible by the data-axis size would silently
+    replicate EVERY batch (zero parallelism) — Predictor refuses."""
+    import pytest
+
+    from sgp_tpu.data import (SpatioTemporalDataset, WindowedLoader,
+                              Windowing)
+    from sgp_tpu.models import RNNModel
+    from sgp_tpu.train import Predictor
+
+    data = rng.standard_normal((40, 6, 1)).astype(np.float32)
+    ds = SpatioTemporalDataset(
+        data, windowing=Windowing(window=4, horizon=2))
+    p = Predictor(RNNModel(output_size=1, horizon=2, hidden_size=8,
+                           ff_size=8),
+                  lr=1e-2, seed=0, mesh=make_mesh(8, 1))
+    tr = WindowedLoader(ds, np.arange(20), batch_size=12)
+    with pytest.raises(ValueError, match="divisible"):
+        p.fit(tr, epochs=1)
+
+
 def test_predictor_mesh_dp_subgraph_batches(rng):
     """The DP mesh also handles subgraph batches (padded node/edge
     arrays + root-only loss via target_nodes)."""

@@ -49,7 +49,8 @@ def test_supervisor_restarts_crash_until_success(tmp_path):
         "import sys\n"
         "sys.exit(0 if '--resume' in sys.argv else 7)\n")
     rc = supervise([sys.executable, str(script)], max_restarts=2,
-                   hang_timeout=0, restart_delay=0)
+                   hang_timeout=0, restart_delay=0,
+                   require_checkpoint=False)
     assert rc == 0
 
 
@@ -57,8 +58,18 @@ def test_supervisor_gives_up_after_max_restarts(tmp_path):
     script = tmp_path / "dead.py"
     script.write_text("import sys\nsys.exit(3)\n")
     rc = supervise([sys.executable, str(script)], max_restarts=1,
-                   hang_timeout=0, restart_delay=0)
+                   hang_timeout=0, restart_delay=0,
+                   require_checkpoint=False)
     assert rc == 3
+
+
+def test_supervisor_requires_checkpoint_path(tmp_path):
+    """Without --checkpoint-path a --resume restart would silently start
+    from epoch 0 (fresh timestamped logdir) — refuse up front."""
+    import pytest
+    with pytest.raises(ValueError, match="checkpoint-path"):
+        supervise([sys.executable, "-c", "pass"], max_restarts=1,
+                  hang_timeout=0, restart_delay=0)
 
 
 def test_supervisor_detects_hang(tmp_path):
@@ -69,7 +80,8 @@ def test_supervisor_detects_hang(tmp_path):
                       "time.sleep(300)\n")
     t0 = time.time()
     rc = supervise([sys.executable, str(script)], max_restarts=0,
-                   hang_timeout=1.0, restart_delay=0)
+                   hang_timeout=1.0, restart_delay=0,
+                   require_checkpoint=False)
     assert rc != 0
     assert time.time() - t0 < 60
 
