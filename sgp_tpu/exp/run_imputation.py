@@ -35,20 +35,33 @@ from sgp_tpu.exp.common import (Experiment, add_common_args, dataset_kwargs,
                                 get_dataset, get_splitter)
 from sgp_tpu.models.graph_layers import diff_conv_support
 from sgp_tpu.models.grin import GRINModel
-from sgp_tpu.train.imputer import make_imputer_train_step
+from sgp_tpu.train.imputer import (make_imputer_train_step,
+                                   split_imputation_output)
 from sgp_tpu.utils.logging import logger
 
 
 def configure_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser()
     add_common_args(parser)
-    parser.add_argument("--model-name", type=str, default="grin")
+    parser.add_argument("--model-name", type=str, default="grin",
+                        choices=("grin", "rnni", "birnni"))
     parser.add_argument("--hidden-size", type=int, default=64)
     parser.add_argument("--ff-size", type=int, default=64)
     parser.add_argument("--n-layers", type=int, default=1)
     parser.add_argument("--kernel-size", type=int, default=2)
     parser.add_argument("--decoder-order", type=int, default=1)
     parser.add_argument("--merge-mode", type=str, default="mlp")
+    # RNNI family flags (rnni_models.py:107-119 flag surface)
+    parser.add_argument("--cell", type=str, default="gru",
+                        choices=("gru", "lstm"))
+    parser.add_argument("--concat-mask", type=lambda v: v.lower() != "false",
+                        default=True)
+    parser.add_argument("--detach-input", action="store_true")
+    parser.add_argument("--process-nodes-independently",
+                        action="store_true")
+    parser.add_argument("--state-init", type=str, default="zero",
+                        choices=("zero", "noise"))
+    parser.add_argument("--dropout", type=float, default=0.0)
     # imputer training semantics (imputer.py whiten_prob / loss weights)
     parser.add_argument("--whiten-prob", type=float, default=0.05)
     parser.add_argument("--prediction-loss-weight", type=float,
@@ -64,8 +77,6 @@ def configure_parser() -> argparse.ArgumentParser:
 
 
 def run_experiment(args):
-    if args.model_name != "grin":
-        raise ValueError(f"Model {args.model_name} not available.")
     dataset = get_dataset(args.dataset_name, **dataset_kwargs(args))
     graph = dataset.get_connectivity(
         threshold=args.adj_threshold, knn=args.adj_knn,
@@ -99,23 +110,42 @@ def run_experiment(args):
     scaler.fit(ds.target[steps], mask=ds.mask[steps] & ~ev[steps])
     sp = scaler.params()
 
-    supports = diff_conv_support(graph)
-    model = GRINModel(input_size=ds.n_channels,
-                      hidden_size=args.hidden_size,
-                      ff_size=args.ff_size, n_layers=args.n_layers,
-                      n_nodes=ds.n_nodes, kernel_size=args.kernel_size,
-                      decoder_order=args.decoder_order,
-                      merge_mode=args.merge_mode)
+    if args.model_name == "grin":
+        supports = diff_conv_support(graph)
+        model = GRINModel(input_size=ds.n_channels,
+                          hidden_size=args.hidden_size,
+                          ff_size=args.ff_size, n_layers=args.n_layers,
+                          n_nodes=ds.n_nodes, kernel_size=args.kernel_size,
+                          decoder_order=args.decoder_order,
+                          merge_mode=args.merge_mode)
 
-    def to_call(batch, training):
-        return (batch["x"], supports), {"mask": batch["mask"],
-                                        "training": training}
+        def to_call(batch, training):
+            return (batch["x"], supports), {"mask": batch["mask"],
+                                            "training": training}
+    else:
+        from sgp_tpu.models.rnni import BiRNNImputerModel, RNNImputerModel
+        cls = RNNImputerModel if args.model_name == "rnni" \
+            else BiRNNImputerModel
+        kw = dict(input_size=ds.n_channels, hidden_size=args.hidden_size,
+                  cell=args.cell, concat_mask=args.concat_mask,
+                  n_nodes=ds.n_nodes,
+                  process_nodes_independently=(
+                      args.process_nodes_independently),
+                  detach_input=args.detach_input,
+                  state_init=args.state_init)
+        if args.model_name == "birnni":
+            kw["dropout"] = args.dropout
+        model = cls(**kw)
+
+        def to_call(batch, training):
+            return (batch["x"], batch["mask"]), {"training": training}
 
     key = jax.random.PRNGKey(args.seed)
     b0 = scaled_batch(np.arange(min(args.batch_size, len(split.train))))
-    params = model.init({"params": key, "dropout": key}, b0["x"],
-                        supports,
-                        mask=b0["mask"].astype(jnp.float32))
+    args0, kwargs0 = to_call(b0, False)
+    params = model.init({"params": key, "dropout": key}, *args0,
+                        **{k: v for k, v in kwargs0.items()
+                           if k != "training"})
 
     batches_epoch = (args.batches_epoch if args.batches_epoch > 0
                      else max(1, len(split.train) // args.batch_size))
@@ -136,9 +166,9 @@ def run_experiment(args):
     @jax.jit
     def _infer(params, x_scaled, train_mask):
         x_in = jnp.where(train_mask, x_scaled, 0.0)
-        merged, _, _ = model.apply(params, x_in, supports,
-                                   mask=train_mask.astype(jnp.float32),
-                                   training=False)
+        iargs, ikwargs = to_call({"x": x_in, "mask": train_mask}, False)
+        merged, _ = split_imputation_output(
+            model.apply(params, *iargs, **ikwargs))
         return sp.inverse_transform(merged)
 
     def evaluate(params, items):

@@ -19,31 +19,50 @@ import optax
 from sgp_tpu.train.metrics import _abs_err, _masked_reduce
 
 
+def split_imputation_output(out):
+    """Normalize an imputation model's output to
+    ``(merged_imputation, aux_predictions)``.
+
+    Models may return the imputed series alone (RNNI), or a tuple whose
+    first element is the merged imputation and whose remaining leaves
+    are auxiliary one-step/stage predictions trained with
+    ``prediction_loss_weight`` (GRIN returns
+    ``(merged, (imp_f, pred_f), (imp_b, pred_b))``; BiRNNI returns
+    ``(merged, (fwd, bwd))``) — the ``imputer.py`` training_step
+    semantics of "loss on the imputation plus weighted loss on every
+    extra output".
+    """
+    if isinstance(out, (tuple, list)):
+        return out[0], jax.tree.leaves(list(out[1:]))
+    return out, []
+
+
 def make_imputer_train_step(model, optimizer, batch_to_call: Callable,
                             whiten_prob: float = 0.05,
                             prediction_loss_weight: float = 1.0,
                             warm_up: int = 0):
     """Build ``step(params, opt_state, batch, rng)``.
 
-    The model is expected to return
-    ``(imputation, (imp_f, pred_f), (imp_b, pred_b))`` (GRIN contract);
-    the loss sums the merged imputation error and the per-direction
-    stage errors weighted by ``prediction_loss_weight``
-    (``imputer.py`` training_step semantics).
+    The loss sums the merged imputation error and the error of every
+    auxiliary prediction the model returns (see
+    :func:`split_imputation_output`), each weighted by
+    ``prediction_loss_weight`` (``imputer.py`` training_step
+    semantics).
     """
 
     def loss_fn(params, batch, rng):
         x, mask = batch["x"], batch["mask"].astype(bool)
         # whitening: hide a random subset of observed points
-        keep = jax.random.uniform(rng, mask.shape) > whiten_prob
+        rng_w, rng_d = jax.random.split(rng)
+        keep = jax.random.uniform(rng_w, mask.shape) > whiten_prob
         train_mask = mask & keep
         target_mask = mask & ~keep
         batch_in = dict(batch)
         batch_in["x"] = jnp.where(train_mask, x, 0.0)
         batch_in["mask"] = train_mask
         args, kwargs = batch_to_call(batch_in, True)
-        merged, (imp_f, pred_f), (imp_b, pred_b) = model.apply(
-            params, *args, **kwargs)
+        out = model.apply(params, *args, rngs={"dropout": rng_d}, **kwargs)
+        merged, aux = split_imputation_output(out)
         # ground truth: ImputationDataset.gather_batch's ``y`` (raw
         # window; at eval_mask points x is zeroed, y holds the value)
         y = batch.get("y", x)
@@ -54,10 +73,8 @@ def make_imputer_train_step(model, optimizer, batch_to_call: Callable,
         lm = trimmed(target_mask | (~mask & batch.get(
             "eval_mask", jnp.zeros_like(mask)).astype(bool)))
         total = 0.0
-        for pred, w in ((merged, 1.0), (imp_f, prediction_loss_weight),
-                        (imp_b, prediction_loss_weight),
-                        (pred_f, prediction_loss_weight),
-                        (pred_b, prediction_loss_weight)):
+        for pred, w in [(merged, 1.0)] + [(p, prediction_loss_weight)
+                                          for p in aux]:
             v, n = _masked_reduce(_abs_err, trimmed(pred), trimmed(y), lm)
             total = total + w * v / jnp.maximum(n, 1.0)
         return total

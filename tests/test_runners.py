@@ -272,3 +272,22 @@ def test_imputation_runner():
     for k in ("test_mae", "test_mse", "test_mre", "val_mae"):
         assert np.isfinite(res[k])
     assert res["test_mre"] < 0.9
+
+
+def test_imputation_runner_rnni():
+    """RNNI and BiRNNI end to end through the imputation runner: the
+    autoregressive imputers train with whiten-masking and beat the
+    trivial relative-error bar at the hidden points."""
+    from sgp_tpu.exp.run_imputation import (configure_parser,
+                                            run_experiment)
+
+    for name in ("rnni", "birnni"):
+        res = _run(run_experiment, configure_parser,
+                   ["--dataset-name", "synthetic", "--synthetic-nodes",
+                    "12", "--synthetic-steps", "200", "--epochs", "4",
+                    "--batches-epoch", "2", "--hidden-size", "16",
+                    "--batch-size", "8", "--window", "12",
+                    "--p-noise", "0.15", "--seed", "0",
+                    "--patience", "5", "--model-name", name])
+        assert np.isfinite(res["test_mae"])
+        assert res["test_mre"] < 0.95

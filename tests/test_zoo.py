@@ -234,3 +234,94 @@ def test_link_predictor_and_nri(rng):
     # training mode samples the adjacency differentiably
     out_t = m.apply(params, xb, rng=rngk, training=True)
     assert np.isfinite(np.asarray(out_t)).all()
+
+
+def test_rnni_imputer(rng):
+    """RNNI autoregressive imputer: shape contract, both modes, both
+    cells, and the one-step-ahead causality property — preds[t] must
+    not depend on x[t:] (prediction of step t uses data up to t-1)."""
+    from sgp_tpu.models.rnni import RNNImputerModel
+    x = jnp.asarray(rng.standard_normal((2, 6, 4, 3)).astype(np.float32))
+    mask = jnp.asarray((rng.random((2, 6, 4, 3)) > 0.3)
+                       .astype(np.float32))
+    for indep in (False, True):
+        for cell in ("gru", "lstm"):
+            m = RNNImputerModel(input_size=3, hidden_size=8, n_nodes=4,
+                                cell=cell,
+                                process_nodes_independently=indep)
+            params = m.init(jax.random.PRNGKey(0), x, mask)
+            out = m.apply(params, x, mask)
+            assert out.shape == x.shape
+            assert np.isfinite(np.asarray(out)).all()
+    # causality: perturb the last two steps; preds up to that point
+    # must be identical
+    m = RNNImputerModel(input_size=3, hidden_size=8, n_nodes=4)
+    params = m.init(jax.random.PRNGKey(0), x, mask)
+    out_a = m.apply(params, x, mask)
+    x_b = x.at[:, 4:].set(99.0)
+    out_b = m.apply(params, x_b, mask)
+    np.testing.assert_allclose(np.asarray(out_a[:, :5]),
+                               np.asarray(out_b[:, :5]), rtol=1e-6)
+    # return_hidden contract
+    out, h = m.apply(params, x, mask, return_hidden=True)
+    assert h.shape == (2, 6, 8)
+    m2 = RNNImputerModel(input_size=3, hidden_size=8, n_nodes=4,
+                         process_nodes_independently=True)
+    p2 = m2.init(jax.random.PRNGKey(0), x, mask)
+    _, h2 = m2.apply(p2, x, mask, return_hidden=True)
+    assert h2.shape == (2, 6, 4, 8)
+
+
+def test_birnni_imputer(rng):
+    """BiRNNI: merged output + (fwd, bwd) aux predictions; the backward
+    pass gives the merged imputation access to FUTURE observations, so
+    unlike the causal fwd stream the merged output at t<4 changes when
+    x[4:] is perturbed."""
+    from sgp_tpu.models.rnni import BiRNNImputerModel
+    x = jnp.asarray(rng.standard_normal((2, 6, 4, 3)).astype(np.float32))
+    mask = jnp.asarray((rng.random((2, 6, 4, 3)) > 0.3)
+                       .astype(np.float32))
+    for indep in (False, True):
+        m = BiRNNImputerModel(input_size=3, hidden_size=8, n_nodes=4,
+                              dropout=0.1,
+                              process_nodes_independently=indep)
+        params = m.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)}, x, mask)
+        merged, (fwd, bwd) = m.apply(params, x, mask)
+        assert merged.shape == x.shape == fwd.shape == bwd.shape
+        assert np.isfinite(np.asarray(merged)).all()
+    merged_b, (fwd_b, _) = m.apply(params, x.at[:, 4:].set(99.0), mask)
+    np.testing.assert_allclose(np.asarray(fwd[:, :5]),
+                               np.asarray(fwd_b[:, :5]), rtol=1e-6)
+    assert not np.allclose(np.asarray(merged[:, :4]),
+                           np.asarray(merged_b[:, :4]))
+
+
+def test_imputer_step_rnni(rng):
+    """The generalized imputer train step drives the RNNI contracts
+    (bare array and (merged, aux-tuple)) and reduces the loss."""
+    import optax
+    from sgp_tpu.models.rnni import BiRNNImputerModel, RNNImputerModel
+    from sgp_tpu.train.imputer import make_imputer_train_step
+    x = jnp.asarray(rng.standard_normal((4, 6, 4, 1)).astype(np.float32))
+    mask = jnp.asarray((rng.random((4, 6, 4, 1)) > 0.2)
+                       .astype(np.float32))
+    batch = {"x": x, "mask": mask}
+    for cls in (RNNImputerModel, BiRNNImputerModel):
+        m = cls(input_size=1, hidden_size=8, n_nodes=4)
+        params = m.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)}, x, mask)
+        opt = optax.adam(5e-3)
+
+        def to_call(b, training):
+            return (b["x"], b["mask"]), {"training": training}
+
+        step = make_imputer_train_step(m, opt, to_call, whiten_prob=0.2)
+        state = opt.init(params)
+        key = jax.random.PRNGKey(7)
+        losses = []
+        for i in range(30):
+            key, k = jax.random.split(key)
+            params, state, loss = step(params, state, batch, k)
+            losses.append(float(loss))
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
