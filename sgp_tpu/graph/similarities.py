@@ -29,13 +29,13 @@ def thresholded_gaussian_kernel(x: np.ndarray, theta: Optional[float] = None,
                                 threshold: Optional[float] = None,
                                 threshold_on_input: bool = False
                                 ) -> np.ndarray:
-    if theta is None:
-        theta = np.std(x)
-    weights = np.exp(-np.square(x / theta))
-    if threshold is not None:
-        mask = x > threshold if threshold_on_input else weights < threshold
-        weights[mask] = 0.0
-    return weights
+    """Gaussian kernel with small weights (or large inputs) zeroed out
+    (``tsl/ops/similarities.py:125-133`` behavior)."""
+    weights = gaussian_kernel(x, theta)
+    if threshold is None:
+        return weights
+    keep = (x <= threshold) if threshold_on_input else (weights >= threshold)
+    return np.where(keep, weights, 0.0)
 
 
 def geographical_distance(latlon: np.ndarray, to_rad: bool = True
@@ -78,29 +78,42 @@ def correntropy(x: np.ndarray, period: int,
     ``x [T, N]`` (``tsl/ops/similarities.py:24-55``): accumulate an RBF
     kernel over non-overlapping windows of length ``period``, masking
     windows with missing values, and average."""
+    n = x.shape[1]
     if mask is None:
-        mask = (~np.isnan(x)).astype(np.uint8)[..., None]
-    sim = np.zeros((x.shape[1], x.shape[1]))
-    tot = np.zeros_like(sim)
-    for i in range(period, len(x), period):
-        xi = x[i - period:i].T  # [N, period]
-        m = mask[i - period:i].min(0)  # [N, 1]
-        si = _rbf_kernel(np.nan_to_num(xi), gamma=gamma)
-        m2 = m * m.T
-        sim += si * m2
-        tot += m2
+        mask = ~np.isnan(x)
+    mask = np.asarray(mask).reshape(len(x), n).astype(bool)
+    # trim to whole windows, then walk [n_win, period, N] chunk by chunk
+    # (the reference's range(period, T, period) drops the window ending
+    # exactly at T, hence the -1)
+    n_win = max((len(x) - 1) // period, 0)
+    chunks = np.nan_to_num(x[:n_win * period]).reshape(n_win, period, n)
+    valid = mask[:n_win * period].reshape(n_win, period, n).all(axis=1)
+    sim = np.zeros((n, n))
+    tot = np.zeros((n, n))
+    for chunk, ok in zip(chunks, valid):
+        pair_ok = np.outer(ok, ok).astype(np.float64)
+        sim += _rbf_kernel(chunk.T, gamma=gamma) * pair_ok
+        tot += pair_ok
     return sim / (tot + epsilon)
 
 
 def top_k(matrix: np.ndarray, k: int, include_self: bool = False,
           keep_values: bool = False) -> np.ndarray:
     """Keep the top-``k`` entries of each row, zeroing the rest
-    (``tsl/ops/similarities.py:104-122``)."""
-    dim = matrix.shape[1]
+    (``tsl/ops/similarities.py:104-122`` behavior).
+
+    Builds a boolean keep-mask from the per-row top-``k`` column set;
+    with ``include_self=False`` the diagonal is forced below every
+    candidate so a node never selects itself.
+    """
+    n_rows, n_cols = matrix.shape
+    scores = np.array(matrix, dtype=np.float64, copy=True)
     if not include_self:
-        assert matrix.shape[0] == matrix.shape[1]
-        matrix = matrix - np.diag([np.inf] * dim).astype(matrix.dtype)
-    non_topk = np.argpartition(matrix, -k)[:, :-k]
-    knn = matrix.copy() if keep_values else np.ones_like(matrix)
-    knn[np.arange(matrix.shape[0])[:, None], non_topk] = 0
-    return knn
+        assert n_rows == n_cols, "self-exclusion needs a square matrix"
+        scores[np.diag_indices(n_rows)] = -np.inf
+    keep = np.zeros_like(scores, dtype=bool)
+    topk_cols = np.argpartition(scores, n_cols - k, axis=1)[:, n_cols - k:]
+    np.put_along_axis(keep, topk_cols, True, axis=1)
+    if keep_values:
+        return np.where(keep, matrix, 0).astype(matrix.dtype)
+    return keep.astype(matrix.dtype)

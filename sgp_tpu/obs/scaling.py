@@ -66,13 +66,13 @@ def propagation_scaling(g: Graph, feat: int = 128, k: int = 2,
     # closure constants) so the trace is cached across the timed
     # iterations and the arrays never bake into the jaxpr.
     @functools.partial(jax.jit, donate_argnums=())
-    def khop_halo_fn(a_local, a_halo, send_idx, xv):
-        sp = dataclasses.replace(spec, a_local=a_local, a_halo=a_halo,
+    def khop_halo_fn(local, halo, send_idx, xv):
+        sp = dataclasses.replace(spec, local=local, halo=halo,
                                  send_idx=send_idx)
         return halo_khop(sp, xv, mesh, k=k, axis="model")
 
     with mesh:
-        t_halo = _time(khop_halo_fn, spec.a_local, spec.a_halo,
+        t_halo = _time(khop_halo_fn, spec.local, spec.halo,
                        spec.send_idx, xs)
 
     # legacy full-all-gather sharding, for the comparison ledger

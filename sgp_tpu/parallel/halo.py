@@ -2,12 +2,10 @@
 
 SURVEY.md §5.8: partition the node dimension 1-D over a mesh axis; per
 hop, exchange ONLY the boundary rows each shard's in-edges reference on
-other shards (``ppermute``/``all_to_all`` over ICI), instead of
-all-gathering the full ``[N, F]`` activation (the round-1
-``sharded_spmm``). With a locality-preserving node order (RCM,
+other shards (``all_to_all`` over ICI), instead of all-gathering the
+full ``[N, F]`` activation. With a locality-preserving node order (RCM,
 :func:`sgp_tpu.graph.sparse.rcm_order`) the exchanged bytes per hop are
-``S * B_max * F`` per device with ``B_max ≪ N`` — the thing that keeps
-multi-chip propagation scaling at graph sizes where it matters.
+``S * B_max * F`` per device with ``B_max ≪ N``.
 
 Everything static-shape: boundary index sets are precomputed on host,
 padded to the max per-peer count, and shipped as per-shard constants
@@ -17,6 +15,20 @@ its own slice). The device-side hop is
     out_local = A_local @ x_local + A_halo @ all_to_all(x_local[send_idx])
 
 with the local block matmul overlapping the collective.
+
+The per-shard operator blocks come in three representations so the plan
+scales past small graphs (the round-2 version materialized dense
+``[Nl, Nl]`` / ``[Nl, S*B]`` blocks — O(N²/S) per device, which dies
+exactly where multi-chip is needed):
+
+- ``dense``: the diagonal block as a dense matrix; one MXU matmul.
+  Right for small shards (the reference benchmark graphs).
+- ``bsr``: the diagonal block packed into 128×128 tiles at nonzero
+  block positions; compute is a batched block matmul + block-row
+  ``segment_sum`` (XLA-native block-sparse SpMM, MXU-aligned). Plan
+  memory O(stored blocks) — with RCM ordering that is O(E/S) per
+  device. Halo entries are COO (they are few by construction).
+- ``coo``: both blocks as gather + ``segment_sum`` — the O(E) oracle.
 """
 from __future__ import annotations
 
@@ -30,24 +42,32 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sgp_tpu.graph.sparse import Graph
 
+_BLOCK = 128
+
 
 @dataclasses.dataclass
 class HaloSpec:
     """Host-built halo-exchange plan for a 1-D node partition.
 
     Arrays are stacked per-shard (leading dim ``S``) so that sharding
-    them over the mesh axis hands each device exactly its own slice:
+    them over the mesh axis hands each device exactly its own slice.
 
-    - ``a_local [S, Nl, Nl]``: the diagonal (local->local) block of each
-      shard's rows of ``A``.
-    - ``a_halo [S, Nl, S*B]``: the off-diagonal entries, columns laid
-      out in recv order (peer-j section ``j*B:(j+1)*B`` = the values of
-      the nodes this shard needs from peer ``j``, padded with zeros).
+    - ``local``: the diagonal (local->local) block of each shard's rows
+      of ``A``, representation per ``mode``:
+      dense ``(a_local [S, Nl, Nl],)``;
+      bsr ``(blocks [S, nb, 128, 128], brows [S, nb], bcols [S, nb])``;
+      coo ``(src [S, E], dst [S, E], w [S, E])`` (zero-weight padding).
+    - ``halo``: the off-diagonal entries, columns remapped to the recv
+      layout (peer-``j`` section ``j*B:(j+1)*B`` = the values this
+      shard needs from peer ``j``): dense ``(a_halo [S, Nl, S*B],)``;
+      otherwise COO ``(hsrc [S, Eh], hdst [S, Eh], hw [S, Eh])`` with
+      ``hsrc`` indexing the ``S*B`` recv buffer.
     - ``send_idx [S, S, B]``: on device ``i``, slot ``j`` holds the
       LOCAL indices of the rows peer ``j`` needs from ``i`` (pad 0).
     """
-    a_local: jnp.ndarray
-    a_halo: jnp.ndarray
+    mode: str
+    local: Tuple[jnp.ndarray, ...]
+    halo: Tuple[jnp.ndarray, ...]
     send_idx: jnp.ndarray
     n_shards: int
     nodes_per_shard: int
@@ -63,30 +83,40 @@ class HaloSpec:
         """What the full-all-gather alternative would move per hop."""
         return self.n_shards * self.nodes_per_shard * feat * itemsize
 
+    def plan_bytes_per_device(self) -> int:
+        """Device-resident plan memory per shard (operator blocks +
+        send plan) — the thing the sparse modes keep at O(E/S)."""
+        leaves = list(self.local) + list(self.halo) + [self.send_idx]
+        return sum(l.size * l.dtype.itemsize for l in leaves
+                   ) // self.n_shards
 
-def build_halo_spec(g: Graph, n_shards: int, dtype=jnp.float32) -> HaloSpec:
+
+def build_halo_spec(g: Graph, n_shards: int, dtype=jnp.float32,
+                    mode: str = "auto") -> HaloSpec:
     """Partition ``g``'s nodes into ``n_shards`` contiguous blocks and
     precompute the boundary-exchange plan. Reorder the graph first
     (e.g. RCM) to localize the boundary; the partition itself is plain
     contiguous blocks of the given node order."""
     n = g.num_nodes
-    nl = -(-n // n_shards)          # ceil
     s = n_shards
+    nl = -(-n // s)                 # ceil
+    if mode == "auto":
+        # dense diagonal blocks are the MXU-fastest up to a few k nodes
+        # per shard; past that the O(Nl^2) plan memory dominates
+        mode = "dense" if nl <= 4096 else "bsr"
+    if mode == "bsr":
+        nl = -(-nl // _BLOCK) * _BLOCK
     # CSR block slicing, never the full dense [N_pad, N_pad] (O(N^2)
-    # host memory would cap the graph size this plan can be built for;
-    # CSR keeps host peak at O(E + S * Nl^2) — the dense per-shard
-    # blocks the device design needs anyway)
+    # host memory would cap the graph size this plan can be built for)
     csr = g.to_scipy().tocsr()
 
-    a_local = np.zeros((s, nl, nl), np.float32)
+    # pass 1: per-shard row blocks + boundary sets (what i needs from j)
     need = [[None] * s for _ in range(s)]
     counts = np.zeros((s, s), np.int64)
     row_blocks = []
     for i in range(s):
         rows = csr[i * nl:min((i + 1) * nl, n)].tocsc()
         row_blocks.append(rows)
-        loc = rows[:, i * nl:min((i + 1) * nl, n)].toarray()
-        a_local[i, :loc.shape[0], :loc.shape[1]] = loc
         for j in range(s):
             if j == i:
                 continue
@@ -98,25 +128,149 @@ def build_halo_spec(g: Graph, n_shards: int, dtype=jnp.float32) -> HaloSpec:
             counts[i, j] = len(nz)
     b_max = max(1, int(counts.max()))
 
-    a_halo = np.zeros((s, nl, s * b_max), np.float32)
+    # pass 2: send plan + halo entries in recv-layout columns
     send_idx = np.zeros((s, s, b_max), np.int32)
+    halo_coo = [[] for _ in range(s)]    # per shard: (dst, recv_col, w)
     for i in range(s):
         rows = row_blocks[i]
         for j in range(s):
             if j == i:
                 continue
             nz = need[i][j]
-            if len(nz):
-                sub = rows[:, j * nl + nz].toarray()
-                a_halo[i, :sub.shape[0],
-                       j * b_max:j * b_max + len(nz)] = sub
-            # device j must SEND these rows to device i
-            send_idx[j, i, :len(nz)] = nz
-    return HaloSpec(jnp.asarray(a_local, dtype), jnp.asarray(a_halo, dtype),
-                    jnp.asarray(send_idx), s, nl, n, b_max, counts)
+            send_idx[j, i, :len(nz)] = nz   # j SENDS these rows to i
+            if not len(nz):
+                continue
+            block = rows[:, j * nl:min((j + 1) * nl, n)].tocoo()
+            keep = block.data != 0
+            dst, col, w = (block.row[keep], block.col[keep],
+                           block.data[keep])
+            recv_col = j * b_max + np.searchsorted(nz, col)
+            halo_coo[i].append((dst, recv_col, w))
+
+    local, halo = _pack_blocks(mode, row_blocks, halo_coo, s, nl, n,
+                               b_max)
+    local = tuple(jnp.asarray(a, dtype if a.dtype == np.float32 else None)
+                  for a in local)
+    halo = tuple(jnp.asarray(a, dtype if a.dtype == np.float32 else None)
+                 for a in halo)
+    return HaloSpec(mode, local, halo, jnp.asarray(send_idx), s, nl, n,
+                    b_max, counts)
 
 
-def _halo_hop(x_local, a_local, a_halo, send_idx, axis: str):
+def _pack_blocks(mode, row_blocks, halo_coo, s, nl, n, b_max):
+    """Stack the per-shard local/halo operator blocks for one mode."""
+    import scipy.sparse as sp
+
+    def local_block(i):
+        lb = row_blocks[i][:, i * nl:min((i + 1) * nl, n)].copy()
+        lb.resize((nl, nl))
+        return lb
+
+    if mode == "dense":
+        a_local = np.stack([local_block(i).toarray().astype(np.float32)
+                            for i in range(s)])
+    elif mode == "bsr":
+        per = []
+        for i in range(s):
+            bsr = sp.csr_matrix(local_block(i)).tobsr(
+                blocksize=(_BLOCK, _BLOCK))
+            bsr.sort_indices()
+            brows = np.repeat(np.arange(len(bsr.indptr) - 1, dtype=np.int32),
+                              np.diff(bsr.indptr))
+            per.append((np.asarray(bsr.data, np.float32),
+                        brows, np.asarray(bsr.indices, np.int32)))
+        nb = max(1, max(len(p[2]) for p in per))
+        blocks = np.zeros((s, nb, _BLOCK, _BLOCK), np.float32)
+        brows = np.zeros((s, nb), np.int32)
+        bcols = np.zeros((s, nb), np.int32)
+        for i, (d, r, c) in enumerate(per):
+            blocks[i, :len(c)], brows[i, :len(c)], bcols[i, :len(c)] = \
+                d, r, c
+        a_local = (blocks, brows, bcols)
+    elif mode == "coo":
+        per = []
+        for i in range(s):
+            lb = local_block(i).tocoo()
+            keep = lb.data != 0
+            per.append((lb.col[keep], lb.row[keep],
+                        lb.data[keep].astype(np.float32)))
+        ne = max(1, max(len(p[0]) for p in per))
+        src = np.zeros((s, ne), np.int32)
+        dst = np.zeros((s, ne), np.int32)
+        w = np.zeros((s, ne), np.float32)
+        for i, (c, r, d) in enumerate(per):
+            src[i, :len(c)], dst[i, :len(c)], w[i, :len(c)] = c, r, d
+        a_local = (src, dst, w)
+    else:
+        raise ValueError(f"unknown halo mode {mode!r}")
+
+    # halo side: dense [Nl, S*B] matrix for 'dense', COO otherwise
+    if mode == "dense":
+        a_halo = np.zeros((s, nl, s * b_max), np.float32)
+        for i, coos in enumerate(halo_coo):
+            for d, c, v in coos:
+                a_halo[i, d, c] = v
+        return (a_local,), (a_halo,)
+    per = []
+    for coos in halo_coo:
+        if coos:
+            d = np.concatenate([e[0] for e in coos])
+            c = np.concatenate([e[1] for e in coos])
+            v = np.concatenate([e[2] for e in coos]).astype(np.float32)
+        else:
+            d = c = np.zeros(0, np.int64)
+            v = np.zeros(0, np.float32)
+        per.append((c, d, v))
+    ne = max(1, max(len(p[0]) for p in per))
+    hsrc = np.zeros((s, ne), np.int32)
+    hdst = np.zeros((s, ne), np.int32)
+    hw = np.zeros((s, ne), np.float32)
+    for i, (c, d, v) in enumerate(per):
+        hsrc[i, :len(c)], hdst[i, :len(c)], hw[i, :len(c)] = c, d, v
+    local_t = a_local if isinstance(a_local, tuple) else (a_local,)
+    return local_t, (hsrc, hdst, hw)
+
+
+def _apply_local(mode: str, local, x):
+    """``A_local @ x`` for one shard; ``x [..., Nl, F]``."""
+    if mode == "dense":
+        (a,) = local
+        return jnp.einsum("ij,...jf->...if", a, x,
+                          preferred_element_type=jnp.float32
+                          ).astype(x.dtype)
+    x2 = jnp.moveaxis(x, -2, 0)          # [Nl, ..., F]
+    if mode == "bsr":
+        blocks, brows, bcols = local
+        bs = blocks.shape[-1]
+        n_br = x.shape[-2] // bs
+        idx = bcols[:, None] * bs + jnp.arange(bs)[None, :]
+        xg = x2[idx]                     # [nb, bs, ..., F]
+        yb = jnp.einsum("nij,nj...->ni...", blocks, xg,
+                        preferred_element_type=jnp.float32)
+        y = jax.ops.segment_sum(yb, brows, num_segments=n_br)
+        y = y.reshape((n_br * bs,) + x2.shape[1:])
+    else:                                # coo
+        src, dst, w = local
+        msgs = x2[src] * w.reshape((-1,) + (1,) * (x2.ndim - 1))
+        y = jax.ops.segment_sum(msgs, dst, num_segments=x.shape[-2])
+    return jnp.moveaxis(y, 0, -2).astype(x.dtype)
+
+
+def _apply_halo(mode: str, halo, x_halo, nl: int):
+    """``A_halo @ recv`` for one shard; ``x_halo [..., S*B, F]``."""
+    if mode == "dense":
+        (a,) = halo
+        return jnp.einsum("ij,...jf->...if", a, x_halo,
+                          preferred_element_type=jnp.float32
+                          ).astype(x_halo.dtype)
+    hsrc, hdst, hw = halo
+    x2 = jnp.moveaxis(x_halo, -2, 0)
+    msgs = x2[hsrc] * hw.reshape((-1,) + (1,) * (x2.ndim - 1))
+    y = jax.ops.segment_sum(msgs, hdst, num_segments=nl)
+    return jnp.moveaxis(y, 0, -2).astype(x_halo.dtype)
+
+
+def _halo_hop(mode, x_local, local, halo, send_idx, axis: str):
     """One hop on a device's local shard. ``x_local [..., Nl, F]``."""
     s, b = send_idx.shape
     # gather the rows each peer needs: [..., S, B, F]
@@ -124,13 +278,11 @@ def _halo_hop(x_local, a_local, a_halo, send_idx, axis: str):
     send = send.reshape(x_local.shape[:-2] + (s, b, x_local.shape[-1]))
     recv = jax.lax.all_to_all(send, axis, split_axis=send.ndim - 3,
                               concat_axis=send.ndim - 3)
-    halo = recv.reshape(x_local.shape[:-2] + (s * b, x_local.shape[-1]))
+    x_halo = recv.reshape(x_local.shape[:-2] + (s * b,
+                                                x_local.shape[-1]))
     # local block matmul (overlaps the collective under XLA scheduling)
-    out = jnp.einsum("ij,...jf->...if", a_local, x_local,
-                     preferred_element_type=jnp.float32)
-    out = out + jnp.einsum("ij,...jf->...if", a_halo, halo,
-                           preferred_element_type=jnp.float32)
-    return out.astype(x_local.dtype)
+    out = _apply_local(mode, local, x_local)
+    return out + _apply_halo(mode, halo, x_halo, x_local.shape[-2])
 
 
 def halo_khop(spec: HaloSpec, x: jnp.ndarray, mesh: Mesh, k: int = 1,
@@ -148,12 +300,15 @@ def halo_khop(spec: HaloSpec, x: jnp.ndarray, mesh: Mesh, k: int = 1,
         pad = [(0, 0)] * (x.ndim - 2) + [(0, n_pad - n), (0, 0)]
         x = jnp.pad(x, pad)
     node_spec = P(*([None] * (x.ndim - 2)), axis, None)
+    mode = spec.mode
 
-    def local_fn(a_local, a_halo, send_idx, x_local):
-        a_local, a_halo, send_idx = a_local[0], a_halo[0], send_idx[0]
+    def local_fn(local, halo, send_idx, x_local):
+        local = tuple(a[0] for a in local)
+        halo = tuple(a[0] for a in halo)
+        send_idx = send_idx[0]
         outs = [x_local]
         for _ in range(k):
-            outs.append(_halo_hop(outs[-1], a_local, a_halo, send_idx,
+            outs.append(_halo_hop(mode, outs[-1], local, halo, send_idx,
                                   axis))
         if concat:
             return jnp.concatenate(outs, -1)
@@ -161,9 +316,11 @@ def halo_khop(spec: HaloSpec, x: jnp.ndarray, mesh: Mesh, k: int = 1,
 
     fn = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), node_spec),
+        in_specs=(tuple(P(axis) for _ in spec.local),
+                  tuple(P(axis) for _ in spec.halo),
+                  P(axis), node_spec),
         out_specs=node_spec, check_vma=False)
-    out = fn(spec.a_local, spec.a_halo, spec.send_idx, x)
+    out = fn(spec.local, spec.halo, spec.send_idx, x)
     if padded_here:
         out = out[..., :n, :]
     return out
