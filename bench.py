@@ -34,7 +34,7 @@ BASELINE_BATCH_S = 116.58  # PV-US 100-nn SGP row, BASELINE.md
 # relay-down fallback
 _LAST_REAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "log", "last_real_bench.json")
-BUDGET_S = 1500            # soft wall-clock budget for the whole run
+BUDGET_S = 2200            # soft wall-clock budget for the whole run
                            # (the driver applies no timeout: round-1's
                            # run recorded a 765 s first compile; the
                            # tunnel compile service's latency swings
@@ -421,6 +421,120 @@ def section_serve() -> dict:
     return out
 
 
+def section_baseline(name: str) -> dict:
+    """Trained-baseline throughput at PV-US 100-nn scale (paper Table 2
+    rows the round-2 verdict flagged as unproven): DCRNN / GraphWaveNet
+    / UG-Gated-GN on full-graph [B, 36, 5016, 1] windows with the
+    ``configs/largescale_100nn/*_pv.yaml`` hyperparameters and batch
+    sizes — the exact training-step shapes behind the reference's
+    2.04 / 2.01 / 8.41 batch/s on an RTX A5000. Reports batch/s plus
+    the step's compiled HBM footprint from XLA's memory analysis."""
+    import jax
+    import jax.numpy as jnp
+
+    from sgp_tpu.data import ScalerParams
+    from sgp_tpu.models.dcrnn import DCRNNModel
+    from sgp_tpu.models.gated_gn import GatedGraphNetworkMLPModel
+    from sgp_tpu.models.graph_layers import diff_conv_support
+    from sgp_tpu.models.gwnet import GraphWaveNetModel
+    from sgp_tpu.train import Predictor
+
+    out = {}
+    g = _build_graph()
+    window, exog_size = 36, 2
+    h_steps = len(range(0, HORIZON, HORIZON_LAG))   # 4 eval steps
+
+    if name == "dcrnn":
+        batch = 2   # Table 2 batch size
+        supports = diff_conv_support(g, precision="default")
+        model = DCRNNModel(hidden_size=64, ff_size=128, output_size=1,
+                           horizon=h_steps, n_layers=1,
+                           exog_size=exog_size, kernel_size=2,
+                           dropout=0.0)
+
+        def to_call(b, training):
+            return (b["x"], supports), {"u": b.get("u"),
+                                        "training": training}
+    elif name == "gwnet":
+        batch = 2
+        supports = diff_conv_support(g, precision="default")
+        model = GraphWaveNetModel(
+            hidden_size=32, ff_size=256, output_size=1,
+            horizon=h_steps, n_layers=8, exog_size=exog_size,
+            temporal_kernel_size=2, spatial_kernel_size=2,
+            learned_adjacency=True, n_nodes=N_NODES, emb_size=10,
+            dilation=2, dilation_mod=2, norm="batch", dropout=0.3)
+
+        def to_call(b, training):
+            return (b["x"], supports), {"u": b.get("u"),
+                                        "node_index": None,
+                                        "training": training}
+    elif name == "gatedgn":
+        batch = 5
+        src = jnp.asarray(g.src.astype(np.int32))
+        dst = jnp.asarray(g.dst.astype(np.int32))
+        model = GatedGraphNetworkMLPModel(
+            input_window_size=window, hidden_size=64, output_size=1,
+            horizon=h_steps, n_nodes=N_NODES, enc_layers=2,
+            gnn_layers=2, positional_encoding=True, activation="silu")
+
+        def to_call(b, training):
+            return (b["x"],), {"src": src, "dst": dst, "u": b.get("u"),
+                               "node_index": None, "edge_mask": None,
+                               "training": training}
+    else:
+        raise ValueError(name)
+
+    bdata = {
+        "x": jax.jit(lambda k: jax.random.normal(
+            k, (batch, window, N_NODES, 1)))(jax.random.PRNGKey(20)),
+        "u": jax.jit(lambda k: jax.random.normal(
+            k, (batch, window, exog_size)))(jax.random.PRNGKey(21)),
+        "y": jax.jit(lambda k: jax.random.normal(
+            k, (batch, h_steps, N_NODES, 1)))(jax.random.PRNGKey(22)),
+    }
+    pred = Predictor(model, loss="mae", lr=1e-3, grad_clip=5.0,
+                     batch_to_call=to_call, seed=0)
+    scaler = ScalerParams(jnp.zeros(1), jnp.ones(1))
+    t0 = time.time()
+    pred.init(bdata, scaler)
+    out[f"{name}_init_s"] = round(time.time() - t0, 2)
+    key = jax.random.PRNGKey(0)
+    params, opt_state = pred.params, pred.opt_state
+    t0 = time.time()
+    params, opt_state, loss = pred._train_step(params, opt_state, bdata,
+                                               key)
+    _sync(loss)
+    out[f"{name}_train_compile_s"] = round(time.time() - t0, 2)
+    for _ in range(3):   # warmup
+        key, k2 = jax.random.split(key)
+        params, opt_state, loss = pred._train_step(params, opt_state,
+                                                   bdata, k2)
+    _sync(loss)
+    steps = 20
+    t0 = time.time()
+    for _ in range(steps):
+        key, k2 = jax.random.split(key)
+        params, opt_state, loss = pred._train_step(params, opt_state,
+                                                   bdata, k2)
+    _sync(loss)
+    bps = steps / (time.time() - t0)
+    ref = {"dcrnn": 2.04, "gwnet": 2.01, "gatedgn": 8.41}[name]
+    out[f"{name}_batch_s"] = round(bps, 2)
+    out[f"{name}_vs_a5000"] = round(bps / ref, 2)
+    # compiled HBM footprint of the train step (Table 2's memory column)
+    try:
+        lowered = pred._train_step.lower(params, opt_state, bdata, key)
+        mem = lowered.compile().memory_analysis()
+        if mem is not None:
+            total = (mem.temp_size_in_bytes + mem.argument_size_in_bytes
+                     + mem.output_size_in_bytes)
+            out[f"{name}_step_hbm_gb"] = round(total / 2 ** 30, 2)
+    except Exception as e:
+        out[f"{name}_hbm_error"] = str(e)[:100]
+    return out
+
+
 SECTIONS = {
     "headline": section_headline,
     "bsr": section_bsr,
@@ -483,6 +597,8 @@ def main():
             result = section_truescale(int(name.split(":")[1]))
         elif name.startswith("probe"):
             result = section_probe(int(name.split(":")[1]))
+        elif name.startswith("baseline"):
+            result = section_baseline(name.split(":")[1])
         else:
             result = SECTIONS[name]()
         print(json.dumps(result))
@@ -539,6 +655,14 @@ def main():
     else:
         extras["probe_failed"] = got.get("probe:11_error", "?")[:80]
     extras.update(_run_child("headline", remaining()))
+    # trained-baseline rows (Table 2 comparison surface) — each model a
+    # fresh child so their HBM never accumulates
+    for m in ("dcrnn", "gwnet", "gatedgn"):
+        if remaining() > 180:
+            extras.update(_run_child(f"baseline:{m}",
+                                     max(remaining(), 420)))
+        else:
+            extras[f"baseline_{m}_skipped"] = "budget"
     if remaining() > 240:
         for t_scale in (T_TRUE, 4434):
             time.sleep(30)   # the previous child's HBM frees on exit

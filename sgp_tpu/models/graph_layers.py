@@ -26,13 +26,18 @@ from sgp_tpu.ops.spmm import Operator, build_operator
 
 
 def diff_conv_support(g: Graph, add_backward: bool = True,
-                      operator_mode: str = "auto") -> List[Operator]:
+                      operator_mode: str = "auto",
+                      precision: str = "highest") -> List[Operator]:
     """Normalized forward (+ transposed) diffusion operators
-    (``diff_conv.py:50-66``)."""
-    ops = [build_operator(normalize_adj(g, "row"), operator_mode)]
+    (``diff_conv.py:50-66``). ``precision='default'`` lets dense
+    operators run bf16 MXU passes — the like-for-like setting against
+    the reference's TF32 CUDA matmuls, ~3x faster than the 6-pass f32
+    default (keep ``'highest'`` for activation-parity checks)."""
+    ops = [build_operator(normalize_adj(g, "row"), operator_mode,
+                          precision=precision)]
     if add_backward:
         ops.append(build_operator(normalize_adj(transpose(g), "row"),
-                                  operator_mode))
+                                  operator_mode, precision=precision))
     return ops
 
 

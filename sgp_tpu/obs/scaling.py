@@ -30,6 +30,66 @@ def _time(fn, *args, iters=20) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+# Interconnect constants for the predictive model (public TPU v5e
+# figures): ICI ~ 1.6 Tbit/s aggregate per chip (~200 GB/s), DCN
+# (between hosts) ~ 25 GB/s per host with ~50 us collective latency.
+ICI_BYTES_PER_S = 200e9
+DCN_BYTES_PER_S = 25e9
+ICI_LATENCY_S = 2e-6
+DCN_LATENCY_S = 50e-6
+CHIPS_PER_HOST = 8
+
+
+def project_scaling(g: Graph, feat: int,
+                    single_chip_edges_per_s: float,
+                    n_chips_list=(1, 8, 32), k: int = 1,
+                    itemsize: int = 4) -> Dict[str, dict]:
+    """Predictive comm/compute model for node-sharded K-hop propagation
+    (VERDICT round-2 item 9): from the halo plan's bytes-per-hop ledger
+    plus a MEASURED single-chip SpMM rate, project edges/s and scaling
+    efficiency at each chip count — so the >=80% host->pod efficiency
+    north star is a falsifiable prediction, not an aspiration.
+
+    Per device and hop: compute time = (E/S) / r_single; comm time =
+    send-buffer bytes over the slowest link on the path (ICI within a
+    host, DCN once S spans hosts) plus latency. With overlap (the plan
+    issues the all_to_all alongside the local block matmul) the hop
+    costs max(compute, comm); without overlap, their sum. Efficiency =
+    ideal time / (S * per-hop time), i.e. 1.0 = perfect linear scaling.
+    """
+    from sgp_tpu.parallel.halo import build_halo_spec
+
+    edges = g.num_edges * k
+    t_single = edges / single_chip_edges_per_s
+    out = {}
+    for s in n_chips_list:
+        if s == 1:
+            out["1"] = {"edges_per_s": single_chip_edges_per_s,
+                        "efficiency": 1.0, "comm_bytes_per_hop": 0}
+            continue
+        spec = build_halo_spec(g, s)
+        comm_bytes = spec.bytes_per_hop(feat, itemsize)
+        crosses_hosts = s > CHIPS_PER_HOST
+        bw = DCN_BYTES_PER_S if crosses_hosts else ICI_BYTES_PER_S
+        lat = DCN_LATENCY_S if crosses_hosts else ICI_LATENCY_S
+        t_comp = (g.num_edges / s) / single_chip_edges_per_s
+        t_comm = comm_bytes / bw + lat
+        t_hop_overlap = max(t_comp, t_comm)
+        t_hop_serial = t_comp + t_comm
+        out[str(s)] = {
+            "edges_per_s": g.num_edges * k / (k * t_hop_overlap),
+            "edges_per_s_no_overlap": g.num_edges * k
+                / (k * t_hop_serial),
+            "efficiency": (t_single / k) / (s * t_hop_overlap),
+            "efficiency_no_overlap": (t_single / k)
+                / (s * t_hop_serial),
+            "comm_bytes_per_hop": int(comm_bytes),
+            "comm_bound": bool(t_comm > t_comp),
+            "boundary_b_max": spec.b_max,
+        }
+    return out
+
+
 def propagation_scaling(g: Graph, feat: int = 128, k: int = 2,
                         n_devices: int = None) -> Dict[str, float]:
     """edges/s of K-hop propagation single-device vs node-sharded over

@@ -59,3 +59,28 @@ def test_run_logger(tmp_path):
              open(tmp_path / "metrics.jsonl").read().splitlines()]
     assert lines[0]["train_mae"] == 1.5
     assert lines[1]["_step"] == 4
+
+
+def test_project_scaling_model():
+    """The predictive comm/compute model: efficiency in (0, 1], 1-chip
+    is the measured baseline, a banded graph projects near-linear ICI
+    scaling (small boundary), and crossing hosts (DCN) can only lower
+    the projection."""
+    from sgp_tpu.obs.scaling import project_scaling
+    from tests.test_halo import ring_graph
+
+    g = ring_graph(n=4096, width=4)
+    r_single = 500e6  # measured-style edges/s
+    proj = project_scaling(g, feat=128,
+                           single_chip_edges_per_s=r_single,
+                           n_chips_list=(1, 8, 32), k=2)
+    assert proj["1"]["edges_per_s"] == r_single
+    for s in ("8", "32"):
+        p = proj[s]
+        assert 0 < p["efficiency"] <= 1.0001
+        assert p["edges_per_s_no_overlap"] <= p["edges_per_s"] * 1.0001
+        assert p["comm_bytes_per_hop"] > 0
+    # a tiny boundary on ICI => near-linear within the host
+    assert proj["8"]["efficiency"] > 0.8
+    # DCN hop is slower per byte: efficiency at 32 <= ICI-only at 8
+    assert proj["32"]["efficiency"] <= proj["8"]["efficiency"] + 1e-6
