@@ -23,6 +23,7 @@ Usage::
 from __future__ import annotations
 
 import argparse
+import time
 
 import jax
 import jax.numpy as jnp
@@ -195,6 +196,7 @@ def run_experiment(args):
     best = {"val_mae": np.inf, "params": params}
     bad_epochs = 0
     for epoch in range(args.epochs):
+        t_epoch = time.time()
         losses = []
         for _ in range(batches_epoch):
             items = rng.choice(split.train, args.batch_size)
@@ -204,7 +206,8 @@ def run_experiment(args):
             losses.append(float(loss))
         val = evaluate(params, split.val)
         logger.info(f"epoch {epoch}: loss={np.mean(losses):.4f} "
-                    f"val_mae={val['mae']:.4f}")
+                    f"val_mae={val['mae']:.4f} "
+                    f"({time.time() - t_epoch:.1f}s)")
         if val["mae"] < best["val_mae"]:
             best = {"val_mae": val["mae"], "params": params}
             bad_epochs = 0

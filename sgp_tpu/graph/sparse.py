@@ -297,3 +297,31 @@ def k_hop_subgraph(g: Graph, roots: np.ndarray, k: int,
     sub = Graph(relabel[g.src[e_keep]], relabel[g.dst[e_keep]],
                 g.weight[e_keep], len(nodes))
     return nodes, sub, relabel[roots]
+
+
+def padded_incoming(g: Graph, pad_to: Optional[int] = None):
+    """ELL layout of the incoming edges: per destination node, the
+    source indices padded to a fixed width.
+
+    The TPU-native alternative to scatter-style message aggregation:
+    with a fixed neighbor width ``D``, ``sum_j m(x[dst], x[src_j])``
+    becomes a contiguous reduction over axis 1 of an ``[N, D, ...]``
+    array — no scatter/sort lowering at all. For k-nn graphs the
+    in-degree is exactly ``k`` so the padding waste is zero.
+
+    Returns ``(src_idx [N, D] int32, mask [N, D] bool)``; padded slots
+    point at node 0 with ``mask=False``.
+    """
+    order = np.lexsort((g.src, g.dst))
+    dst_s, src_s = g.dst[order], g.src[order]
+    counts = np.bincount(dst_s, minlength=g.num_nodes)
+    d = int(pad_to or (counts.max() if counts.size else 0))
+    if counts.size and counts.max() > d:
+        raise ValueError(f"pad_to={d} < max in-degree {counts.max()}")
+    src_idx = np.zeros((g.num_nodes, d), np.int32)
+    mask = np.zeros((g.num_nodes, d), bool)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    slot = np.arange(len(dst_s)) - starts[dst_s]
+    src_idx[dst_s, slot] = src_s
+    mask[dst_s, slot] = True
+    return src_idx, mask

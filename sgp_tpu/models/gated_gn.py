@@ -25,9 +25,10 @@ from sgp_tpu.models.graph_layers import GatedGraphNetwork
 
 def full_graph_edges(n: int):
     """All-pairs edge list (``cartesian_prod``,
-    ``gated_gn_model.py:127-130``)."""
-    src = np.repeat(np.arange(n, dtype=np.int32), n)
-    dst = np.tile(np.arange(n, dtype=np.int32), n)
+    ``gated_gn_model.py:127-130``), emitted dst-major so the
+    aggregation qualifies for the sorted segment-sum fast path."""
+    dst = np.repeat(np.arange(n, dtype=np.int32), n)
+    src = np.tile(np.arange(n, dtype=np.int32), n)
     return src, dst
 
 
@@ -41,15 +42,18 @@ class _GatedGNBase(nn.Module):
     gnn_layers: int = 2
     positional_encoding: bool = True
     activation: str = "silu"
+    sorted_edges: bool = False   # edges pre-sorted by dst (coalesce)
 
-    def _decode(self, x, node_index, src, dst, edge_mask=None):
+    def _decode(self, x, node_index, src, dst, edge_mask=None,
+                sorted_edges: bool = False, neigh=None):
         act = get_activation(self.activation)
         if self.positional_encoding:
             x = x + StaticGraphEmbedding(self.n_nodes, self.hidden_size)(
                 token_index=node_index)
         for _ in range(self.gnn_layers):
-            x = GatedGraphNetwork(self.hidden_size, self.activation)(
-                x, src, dst, edge_mask=edge_mask)
+            x = GatedGraphNetwork(self.hidden_size, self.activation,
+                                  sorted_edges=sorted_edges)(
+                x, src, dst, edge_mask=edge_mask, neigh=neigh)
         x = act(nn.Dense(self.hidden_size)(x)) + x
         out = nn.Dense(self.horizon * self.output_size)(x)
         b, n = out.shape[0], out.shape[1]
@@ -57,25 +61,33 @@ class _GatedGNBase(nn.Module):
                            ).transpose(0, 2, 1, 3)
 
     def _edges(self, x, src, dst):
+        """Returns ``(src, dst, sorted)`` — the generated full-graph
+        list is dst-major, an explicit list is sorted only if the
+        caller says so (``sorted_edges``; subgraph padding appends
+        dst=0 entries, which breaks the order)."""
         if src is None:
-            return tuple(jnp.asarray(a) for a in
-                         full_graph_edges(x.shape[-2]))
-        return src, dst
+            s, d = (jnp.asarray(a) for a in
+                    full_graph_edges(x.shape[-2]))
+            return s, d, True
+        return src, dst, self.sorted_edges
 
 
 class GatedGraphNetworkMLPModel(_GatedGNBase):
 
     @nn.compact
     def __call__(self, x, src=None, dst=None, u=None, node_index=None,
-                 edge_mask=None, training: bool = False, **kwargs):
-        # x: [b s n f]
+                 edge_mask=None, neigh=None, training: bool = False,
+                 **kwargs):
+        # x: [b s n f]; neigh=(src_idx [N, D], mask) selects the
+        # scatter-free ELL aggregation (padded_incoming)
         act = get_activation(self.activation)
         if u is not None:
             if u.ndim == 3:  # global exog -> broadcast over nodes
                 u = jnp.broadcast_to(u[:, :, None, :],
                                      x.shape[:3] + (u.shape[-1],))
             x = jnp.concatenate([x, u], -1)
-        src, dst = self._edges(x, src, dst)
+        src, dst, srt = (None, None, False) if neigh is not None \
+            else self._edges(x, src, dst)
         xw = x[:, -self.input_window_size:]
         b, s, n, f = xw.shape
         h = xw.transpose(0, 2, 1, 3).reshape(b, n, s * f)
@@ -84,7 +96,8 @@ class GatedGraphNetworkMLPModel(_GatedGNBase):
             blk = nn.Dense(self.hidden_size)(
                 act(nn.Dense(self.hidden_size)(h)))
             h = blk + h
-        return self._decode(h, node_index, src, dst, edge_mask)
+        return self._decode(h, node_index, src, dst, edge_mask,
+                            sorted_edges=srt, neigh=neigh)
 
 
 class Conv1dResidual(nn.Module):
@@ -140,11 +153,12 @@ class GatedGraphNetworkConvModel(_GatedGNBase):
                 u = jnp.broadcast_to(u[:, :, None, :],
                                      x.shape[:3] + (u.shape[-1],))
             x = jnp.concatenate([x, u], -1)
-        src, dst = self._edges(x, src, dst)
+        src, dst, srt = self._edges(x, src, dst)
         xw = x[:, -self.input_window_size:]
         b, s, n, f = xw.shape
         flat = xw.transpose(0, 2, 1, 3).reshape(b * n, s, f)
         h = CNNResidual(self.hidden_size, self.input_window_size,
                         hidden_size=self.hidden_size)(flat)
         h = h.reshape(b, n, -1)
-        return self._decode(h, node_index, src, dst, edge_mask)
+        return self._decode(h, node_index, src, dst, edge_mask,
+                            sorted_edges=srt)

@@ -1,0 +1,95 @@
+"""Speed-of-light accounting for the hot kernel paths.
+
+VERDICT round-2 items 2 and 5: a measured rate means nothing without
+the attainable bound next to it. This module computes, from first
+principles (public TPU v5e datasheet numbers), the per-dispatch floor
+time of each SpMM representation and of the fused IID training step,
+so ``bench.py`` can emit ``*_pct_of_roofline`` instead of bare rates.
+
+The bound of a program is ``max(bytes_moved / HBM_BW, flops / peak)``
+— whichever wall the program hits first. Everything here is
+host-side arithmetic; nothing imports jax.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+# public TPU v5e figures
+HBM_BW_BYTES_S = 819e9          # HBM bandwidth per chip
+PEAK_BF16_FLOPS = 197e12        # MXU peak, bf16 inputs / f32 accumulate
+F32_MXU_PASSES = 6              # 'highest' f32 matmul = 6 bf16 passes
+
+
+@dataclass
+class Bound:
+    """A program's floor: seconds, and which wall sets it."""
+    seconds: float
+    hbm_seconds: float
+    mxu_seconds: float
+
+    @property
+    def limiter(self) -> str:
+        return "hbm" if self.hbm_seconds >= self.mxu_seconds else "mxu"
+
+    def pct_of(self, measured_seconds: float) -> float:
+        """Fraction of the attainable rate the measurement achieved."""
+        return self.seconds / max(measured_seconds, 1e-12)
+
+
+def _bound(bytes_moved: float, flops: float,
+           precision: str = "default") -> Bound:
+    passes = F32_MXU_PASSES if precision == "highest" else 1
+    t_hbm = bytes_moved / HBM_BW_BYTES_S
+    t_mxu = flops * passes / PEAK_BF16_FLOPS
+    return Bound(max(t_hbm, t_mxu), t_hbm, t_mxu)
+
+
+def dense_spmm_bound(n: int, f: int, itemsize: int = 4,
+                     precision: str = "default") -> Bound:
+    """One ``[N, N] @ [N, F]`` pass: the operator read dominates bytes;
+    ``precision='highest'`` multiplies MXU passes, not bytes."""
+    bytes_moved = n * n * itemsize + 2 * n * f * 4
+    flops = 2.0 * n * n * f
+    return _bound(bytes_moved, flops, precision)
+
+
+def bsr_spmm_bound(nnzb: int, n_block_rows: int, f: int,
+                   block: int = 128, blk_itemsize: int = 2,
+                   x_itemsize: int = 4) -> Bound:
+    """The Pallas row kernel's floor: per stored block, one block read
+    plus one x-tile read per F tile; each output tile written once."""
+    f_tiles = max(1, -(-f // block))
+    bytes_moved = (nnzb * block * block * blk_itemsize * f_tiles
+                   + nnzb * block * block * x_itemsize * f_tiles
+                   + n_block_rows * block * block * x_itemsize * f_tiles)
+    flops = 2.0 * nnzb * block * block * block * f_tiles
+    return _bound(bytes_moved, flops)
+
+
+def coo_spmm_bound(n_edges: int, n: int, f: int,
+                   itemsize: int = 4) -> Bound:
+    """Gather + segment-sum floor: per edge one x-row read and one
+    message write/read around the segment reduction (VPU adds are
+    free relative to the traffic)."""
+    bytes_moved = (n_edges * (4 + 4 + itemsize)            # src/dst/w
+                   + 3 * n_edges * f * itemsize            # gather + msg
+                   + n * f * itemsize)                     # output
+    flops = 2.0 * n_edges * f
+    return _bound(bytes_moved, flops)
+
+
+def iid_step_bound(batch: int, row_bytes: int, flops_per_step: float,
+                   param_bytes: int = 0) -> dict:
+    """The fused IID train step's floor: the sample-row gather is HBM
+    traffic that cannot be removed; the fwd/bwd GEMMs are MXU time;
+    Adam reads/writes the parameter state. Returns both the
+    perfectly-overlapped floor (max) and the serial floor (sum) —
+    the truth lies between."""
+    t_gather = batch * row_bytes / HBM_BW_BYTES_S
+    t_mxu = flops_per_step / PEAK_BF16_FLOPS
+    t_adam = param_bytes / HBM_BW_BYTES_S
+    overlap = max(t_gather, t_mxu, t_adam)
+    serial = t_gather + t_mxu + t_adam
+    return {"t_gather_bound_s": t_gather, "t_mxu_bound_s": t_mxu,
+            "t_adam_bound_s": t_adam, "floor_overlap_s": overlap,
+            "floor_serial_s": serial}

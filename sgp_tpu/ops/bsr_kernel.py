@@ -3,13 +3,25 @@
 The TPU-native answer to torch_sparse's CSR SpMM: instead of per-edge
 gather/scatter (bad for the MXU), the operator is packed into dense
 128x128 tiles at the nonzero block positions (``Graph.to_bsr``), and the
-kernel runs one MXU matmul per stored block, skipping zero blocks entirely.
-Block indices are scalar-prefetched so the data-dependent ``x`` block row
-for each tile is resolved before the kernel body runs.
+kernel runs one MXU matmul per stored block, skipping zero blocks
+entirely.
 
-Grid layout: ``(F_tiles, nnzb)`` with the block index innermost, so all
-blocks of one block-row hit the same output tile in consecutive grid steps
-and accumulate in VMEM (output revisiting).
+Kernel design (v3, round 3): ONE grid step per F tile; the kernel walks
+the whole block store in global order with a software pipeline —
+the (operator-block, x-tile) pair for block ``g+1`` is always in
+flight while block ``g`` multiplies, across row boundaries (v2
+restarted the pipeline at every block row, exposing one DMA latency
+per row; measured 788M edges/s vs v3's target of the HBM bound).
+Output tiles accumulate in VMEM f32 and are DMA'd back to HBM
+double-buffered, overlapping the next row's compute.
+
+Operator blocks may be stored bf16 (halving the dominant HBM traffic;
+x tiles are then moved as bf16 too and the matmul accumulates f32 via
+``preferred_element_type``) — the like-for-like setting against the
+reference's TF32 CUDA SpMM.
+
+Block indices (``row_ptr``, ``cols``) are scalar-prefetched so the
+data-dependent DMA addresses resolve before the kernel body runs.
 """
 from __future__ import annotations
 
@@ -24,100 +36,145 @@ from jax.experimental.pallas import tpu as pltpu
 BLOCK = 128
 
 
-def _kernel(rows_ref, cols_ref, first_ref, blocks_ref, x_ref, out_ref):
-    b = pl.program_id(1)
+def _make_flat_kernel(nnzb: int, n_br: int):
+    def kernel(ptr_ref, cols_ref, blocks_hbm, x_hbm, out_hbm,
+               blk_scr, x_scr, out_scr, sems, out_sems):
+        j = pl.program_id(0)
 
-    @pl.when(first_ref[b] == 1)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        def blk_dma(slot, g):
+            return pltpu.make_async_copy(
+                blocks_hbm.at[g], blk_scr.at[slot], sems.at[slot, 0])
 
-    out_ref[:] += jnp.dot(blocks_ref[0], x_ref[:],
-                          preferred_element_type=jnp.float32
-                          ).astype(out_ref.dtype)
+        def x_dma(slot, g):
+            c = cols_ref[g]
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(c * BLOCK, BLOCK),
+                         pl.ds(j * BLOCK, BLOCK)],
+                x_scr.at[slot], sems.at[slot, 1])
+
+        def out_dma(slot, r):
+            return pltpu.make_async_copy(
+                out_scr.at[slot],
+                out_hbm.at[pl.ds(r * BLOCK, BLOCK),
+                           pl.ds(j * BLOCK, BLOCK)],
+                out_sems.at[slot])
+
+        if nnzb > 0:
+            blk_dma(0, 0).start()
+            x_dma(0, 0).start()
+
+        def row_body(r, carry):
+            start = ptr_ref[r]
+            end = ptr_ref[r + 1]
+
+            def body(g, acc):
+                slot = jax.lax.rem(g, 2)
+                nxt = jax.lax.rem(g + 1, 2)
+
+                @pl.when(g + 1 < nnzb)
+                def _():
+                    blk_dma(nxt, g + 1).start()
+                    x_dma(nxt, g + 1).start()
+
+                blk_dma(slot, g).wait()
+                x_dma(slot, g).wait()
+                return acc + jnp.dot(
+                    blk_scr[slot], x_scr[slot],
+                    preferred_element_type=jnp.float32)
+
+            acc = jax.lax.fori_loop(
+                start, end, body,
+                jnp.zeros((BLOCK, BLOCK), jnp.float32))
+            oslot = jax.lax.rem(r, 2)
+
+            # this out slot was shipped two rows ago — reclaim it
+            @pl.when(r >= 2)
+            def _():
+                out_dma(oslot, r - 2).wait()
+
+            out_scr[oslot] = acc.astype(out_scr.dtype)
+            out_dma(oslot, r).start()
+            return carry
+
+        jax.lax.fori_loop(0, n_br, row_body, 0)
+        # drain the last two in-flight output DMAs
+        if n_br >= 2:
+            out_dma(jax.lax.rem(n_br - 2, 2), n_br - 2).wait()
+        if n_br >= 1:
+            out_dma(jax.lax.rem(n_br - 1, 2), n_br - 1).wait()
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("num_nodes", "interpret"))
-def _bsr_spmm_padded(blocks, block_rows, block_cols, first_in_row, x_pad,
-                     num_nodes: int, interpret: bool = False):
+@functools.partial(jax.jit,
+                   static_argnames=("n_block_rows", "interpret"))
+def _bsr_spmm_padded(blocks, block_cols, row_ptr, x_pad,
+                     n_block_rows: int, interpret: bool = False):
     n_pad, f_pad = x_pad.shape
     nnzb = blocks.shape[0]
     f_tiles = f_pad // BLOCK
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(f_tiles, nnzb),
+        num_scalar_prefetch=2,
+        grid=(f_tiles,),
         in_specs=[
-            pl.BlockSpec((1, BLOCK, BLOCK),
-                         lambda j, b, rows, cols, first: (b, 0, 0)),
-            pl.BlockSpec((BLOCK, BLOCK),
-                         lambda j, b, rows, cols, first: (cols[b], j)),
+            pl.BlockSpec(memory_space=pl.ANY),   # blocks stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
         ],
-        out_specs=pl.BlockSpec(
-            (BLOCK, BLOCK),
-            lambda j, b, rows, cols, first: (rows[b], j)),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # DMA'd manually
+        scratch_shapes=[
+            pltpu.VMEM((2, BLOCK, BLOCK), blocks.dtype),
+            pltpu.VMEM((2, BLOCK, BLOCK), x_pad.dtype),
+            pltpu.VMEM((2, BLOCK, BLOCK), x_pad.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
+    bytes_blk = nnzb * BLOCK * BLOCK * blocks.dtype.itemsize * f_tiles
+    bytes_x = nnzb * BLOCK * BLOCK * x_pad.dtype.itemsize * f_tiles
     out = pl.pallas_call(
-        _kernel,
+        _make_flat_kernel(int(nnzb), int(n_block_rows)),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, f_pad), x_pad.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_block_rows * BLOCK, f_pad),
+                                       x_pad.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nnzb * BLOCK * BLOCK * BLOCK * f_tiles,
+            bytes_accessed=bytes_blk + bytes_x,
+            transcendentals=0),
         interpret=interpret,
-    )(block_rows, block_cols, first_in_row, blocks, x_pad)
+    )(row_ptr, block_cols, blocks, x_pad)
     return out
 
 
 def prepare_bsr(blocks: np.ndarray, block_cols: np.ndarray,
-                row_ptr: np.ndarray):
+                row_ptr: np.ndarray, dtype=np.float32):
     """Host-side prep (static per graph, done ONCE at operator build so
-    the kernel entry is jit-safe): derive per-block row ids and
-    first-in-row markers; guarantee every block row has at least one
-    block (empty rows get an all-zero block) so every output tile is
-    written. Returns ``(blocks, rows, cols, first)`` numpy arrays."""
-    row_ptr_np = np.asarray(row_ptr)
-    cols_np = np.asarray(block_cols)
-    blocks_np = np.asarray(blocks)
-    n_br = len(row_ptr_np) - 1
-    counts = np.diff(row_ptr_np)
-    if (counts == 0).any():
-        # splice a zero block into each empty block row
-        new_cols, new_rows, new_first, new_blocks_idx = [], [], [], []
-        for r in range(n_br):
-            s, e = row_ptr_np[r], row_ptr_np[r + 1]
-            if e > s:
-                new_cols.extend(cols_np[s:e])
-                new_blocks_idx.extend(range(s, e))
-            else:
-                new_cols.append(0)
-                new_blocks_idx.append(-1)
-            new_rows.extend([r] * max(1, e - s))
-            new_first.extend([1] + [0] * (max(1, e - s) - 1))
-        zero = np.zeros((1, BLOCK, BLOCK), blocks_np.dtype)
-        padded = np.concatenate([blocks_np, zero], axis=0)
-        blocks_np = padded[np.asarray(new_blocks_idx)]
-        rows = np.asarray(new_rows, np.int32)
-        cols = np.asarray(new_cols, np.int32)
-        first = np.asarray(new_first, np.int32)
-    else:
-        rows = np.repeat(np.arange(n_br, dtype=np.int32), counts)
-        first = np.zeros(len(cols_np), np.int32)
-        first[row_ptr_np[:-1]] = 1
-        cols = cols_np.astype(np.int32)
-    return blocks_np, rows, cols, first
+    the kernel entry is jit-safe): contiguous int32 index arrays and the
+    block store in the compute dtype (bf16 storage halves HBM traffic).
+    Rows without blocks need no padding — the kernel writes their
+    output tile as zeros."""
+    return (np.asarray(blocks, dtype),
+            np.asarray(block_cols, np.int32),
+            np.asarray(row_ptr, np.int32))
 
 
-def bsr_spmm_prepared(blocks: jnp.ndarray, rows: jnp.ndarray,
-                      cols: jnp.ndarray, first: jnp.ndarray,
-                      x: jnp.ndarray, num_nodes: int,
-                      n_block_rows: int) -> jnp.ndarray:
+def bsr_spmm_prepared(blocks: jnp.ndarray, block_cols: jnp.ndarray,
+                      row_ptr: jnp.ndarray, x: jnp.ndarray,
+                      num_nodes: int, n_block_rows: int) -> jnp.ndarray:
     """Jit-safe kernel entry on prepared arrays (``prepare_bsr``)."""
     n_pad = n_block_rows * BLOCK
     f = x.shape[-1]
     f_pad = ((f + BLOCK - 1) // BLOCK) * BLOCK
-    x_pad = jnp.zeros((n_pad, f_pad), x.dtype)
-    x_pad = x_pad.at[:x.shape[0], :f].set(x)
+    # bf16 blocks -> move x tiles as bf16 too (the caller opted into
+    # 'default' matmul precision); accumulation stays f32 in VMEM
+    xdt = jnp.bfloat16 if blocks.dtype == jnp.bfloat16 else x.dtype
+    x_pad = jnp.zeros((n_pad, f_pad), xdt)
+    x_pad = x_pad.at[:x.shape[0], :f].set(x.astype(xdt))
     interpret = jax.default_backend() == "cpu"
-    out = _bsr_spmm_padded(blocks, rows, cols, first, x_pad,
-                           num_nodes=num_nodes, interpret=interpret)
-    return out[:num_nodes, :f]
+    out = _bsr_spmm_padded(blocks, block_cols, row_ptr, x_pad,
+                           n_block_rows=n_block_rows,
+                           interpret=interpret)
+    return out[:num_nodes, :f].astype(x.dtype)
 
 
 def bsr_spmm(blocks: jnp.ndarray, block_cols: jnp.ndarray,
@@ -126,9 +183,7 @@ def bsr_spmm(blocks: jnp.ndarray, block_cols: jnp.ndarray,
     """``out = A @ x`` for raw BSR inputs (host prep inline — NOT
     jit-safe; prefer :class:`~sgp_tpu.ops.spmm.BSROperator`, which
     prepares once at build time)."""
-    blocks_np, rows, cols, first = prepare_bsr(blocks, block_cols,
-                                               row_ptr)
+    blocks_np, cols, ptr = prepare_bsr(blocks, block_cols, row_ptr)
     n_br = len(np.asarray(row_ptr)) - 1
-    return bsr_spmm_prepared(jnp.asarray(blocks_np), jnp.asarray(rows),
-                             jnp.asarray(cols), jnp.asarray(first),
-                             x, num_nodes, n_br)
+    return bsr_spmm_prepared(jnp.asarray(blocks_np), jnp.asarray(cols),
+                             jnp.asarray(ptr), x, num_nodes, n_br)

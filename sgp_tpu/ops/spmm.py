@@ -112,12 +112,11 @@ class BSROperator:
 
     BLOCK = 128
 
-    def __init__(self, blocks, block_rows, block_cols, first_in_row,
+    def __init__(self, blocks, block_cols, row_ptr,
                  num_nodes: int, n_block_rows: int):
-        self.blocks = blocks                # [nnzb, B, B]
-        self.block_rows = block_rows        # [nnzb]
+        self.blocks = blocks                # [nnzb, B, B] f32 or bf16
         self.block_cols = block_cols        # [nnzb]
-        self.first_in_row = first_in_row    # [nnzb] 0/1
+        self.row_ptr = row_ptr              # [n_block_rows + 1]
         self._num_nodes = int(num_nodes)
         self._n_block_rows = int(n_block_rows)
 
@@ -126,10 +125,9 @@ class BSROperator:
                  dtype=jnp.float32) -> "BSROperator":
         from sgp_tpu.ops.bsr_kernel import prepare_bsr
         import numpy as np
-        b, rows, cols, first = prepare_bsr(blocks, block_cols, row_ptr)
-        return cls(jnp.asarray(b, dtype), jnp.asarray(rows),
-                   jnp.asarray(cols), jnp.asarray(first), num_nodes,
-                   len(np.asarray(row_ptr)) - 1)
+        b, cols, ptr = prepare_bsr(blocks, block_cols, row_ptr, dtype)
+        return cls(jnp.asarray(b), jnp.asarray(cols), jnp.asarray(ptr),
+                   num_nodes, len(np.asarray(row_ptr)) - 1)
 
     @property
     def num_nodes(self) -> int:
@@ -138,21 +136,18 @@ class BSROperator:
     def __matmul__(self, x: jnp.ndarray) -> jnp.ndarray:
         from sgp_tpu.ops.bsr_kernel import bsr_spmm_prepared
         if x.ndim == 2:
-            return bsr_spmm_prepared(self.blocks, self.block_rows,
-                                     self.block_cols, self.first_in_row,
-                                     x, self._num_nodes,
+            return bsr_spmm_prepared(self.blocks, self.block_cols,
+                                     self.row_ptr, x, self._num_nodes,
                                      self._n_block_rows)
         lead = x.shape[:-2]
         flat = x.reshape((-1,) + x.shape[-2:])
         out = jax.vmap(lambda xi: bsr_spmm_prepared(
-            self.blocks, self.block_rows, self.block_cols,
-            self.first_in_row, xi, self._num_nodes,
-            self._n_block_rows))(flat)
+            self.blocks, self.block_cols, self.row_ptr, xi,
+            self._num_nodes, self._n_block_rows))(flat)
         return out.reshape(lead + out.shape[-2:])
 
     def tree_flatten(self):
-        return ((self.blocks, self.block_rows, self.block_cols,
-                 self.first_in_row),
+        return ((self.blocks, self.block_cols, self.row_ptr),
                 (self._num_nodes, self._n_block_rows))
 
     @classmethod
@@ -212,7 +207,12 @@ def build_operator(g: Graph, mode: str = "auto", dtype=jnp.float32,
         return DenseOperator(jnp.asarray(g.to_dense(), dtype), precision)
     if mode == "bsr":
         blocks, cols, ptr = g.to_bsr(BSROperator.BLOCK)
-        return BSROperator.from_bsr(blocks, cols, ptr, g.num_nodes, dtype)
+        # precision='default' -> bf16 block storage: halves the
+        # kernel's dominant HBM traffic; accumulation stays f32.
+        bsr_dtype = (jnp.bfloat16 if precision == "default"
+                     and dtype == jnp.float32 else dtype)
+        return BSROperator.from_bsr(blocks, cols, ptr, g.num_nodes,
+                                    bsr_dtype)
     if mode == "coo":
         return COOOperator(jnp.asarray(g.src), jnp.asarray(g.dst),
                            jnp.asarray(g.weight, dtype), g.num_nodes)

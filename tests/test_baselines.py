@@ -122,3 +122,50 @@ def test_gated_gn_conv_model(rng):
                                    output_size=1, horizon=4, n_nodes=6)
     _, out = init_apply(m, x)
     assert out.shape == (2, 4, 6, 1)
+
+
+def test_gated_gn_ell_matches_coo(rng):
+    """The scatter-free ELL aggregation (padded_incoming) computes the
+    same function as the COO gather/segment-sum path with the SAME
+    params (both layouts share the parameter structure)."""
+    from sgp_tpu.graph.sparse import Graph, coalesce, padded_incoming
+
+    n = 12
+    g = coalesce(Graph(rng.integers(0, n, 60).astype(np.int32),
+                       rng.integers(0, n, 60).astype(np.int32),
+                       None, n))
+    x = jnp.asarray(rng.standard_normal((2, n, 8)).astype(np.float32))
+    layer = GatedGraphNetwork(output_size=8, sorted_edges=True)
+    params = layer.init(jax.random.PRNGKey(0), x,
+                        jnp.asarray(g.src), jnp.asarray(g.dst))
+    out_coo = layer.apply(params, x, jnp.asarray(g.src),
+                          jnp.asarray(g.dst))
+    si, m = padded_incoming(g)
+    out_ell = layer.apply(params, x,
+                          neigh=(jnp.asarray(si), jnp.asarray(m)))
+    np.testing.assert_allclose(np.asarray(out_coo),
+                               np.asarray(out_ell), atol=1e-5)
+
+
+def test_gated_gn_model_ell_matches_coo(rng):
+    """Model-level: full forward with neigh= equals src/dst ."""
+    from sgp_tpu.graph.sparse import Graph, coalesce, padded_incoming
+
+    n = 10
+    g = coalesce(Graph(rng.integers(0, n, 40).astype(np.int32),
+                       rng.integers(0, n, 40).astype(np.int32),
+                       None, n))
+    x = jnp.asarray(rng.standard_normal((2, 12, n, 1)).astype(np.float32))
+    m = GatedGraphNetworkMLPModel(input_window_size=12, hidden_size=16,
+                                  output_size=1, horizon=3, n_nodes=n,
+                                  enc_layers=1, gnn_layers=2,
+                                  sorted_edges=True)
+    params = m.init(jax.random.PRNGKey(1), x, src=jnp.asarray(g.src),
+                    dst=jnp.asarray(g.dst))
+    out_coo = m.apply(params, x, src=jnp.asarray(g.src),
+                      dst=jnp.asarray(g.dst))
+    si, msk = padded_incoming(g)
+    out_ell = m.apply(params, x,
+                      neigh=(jnp.asarray(si), jnp.asarray(msk)))
+    np.testing.assert_allclose(np.asarray(out_coo),
+                               np.asarray(out_ell), atol=1e-5)
