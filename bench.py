@@ -169,7 +169,8 @@ def section_headline() -> dict:
                                      mask, valid, h_off, scaler,
                                      batch_size=4096,
                                      steps_per_call=steps_per_call,
-                                     packed=packed)
+                                     packed=packed,
+                                     compute_dtype=jnp.bfloat16)
     t0 = time.time()
     params, opt_state, loss = step(params, opt_state, key)  # compile
     _sync(loss)
@@ -201,7 +202,8 @@ def section_headline() -> dict:
     mt_step = make_fused_iid_multi_trial_step(
         model, None, target, mask, valid, h_off, scaler,
         lrs=np.full(k_trials, 1e-3, np.float32), batch_size=4096,
-        steps_per_call=steps_per_call, packed=packed)
+        steps_per_call=steps_per_call, packed=packed,
+        compute_dtype=jnp.bfloat16)
     mt_opt = mt_step.init_opt(stack)
     t0 = time.time()
     stack, mt_opt, mt_loss = mt_step(stack, mt_opt, key)
@@ -226,7 +228,8 @@ def section_headline() -> dict:
     try:
         single = make_fused_iid_step(model, optimizer, None, target,
                                      mask, valid, h_off, scaler,
-                                     batch_size=4096, packed=packed)
+                                     batch_size=4096, packed=packed,
+                                     compute_dtype=jnp.bfloat16)
         lowered = single.core.lower(params, opt_state, key, single.data)
         cost = lowered.compile().cost_analysis()
         if cost and "flops" in cost:
@@ -279,14 +282,19 @@ def section_bsr() -> dict:
         srcs, dsts, np.ones(len(srcs), np.float32), n_big)), "row")
     x_big = jax.jit(lambda k: jax.random.normal(
         k, (n_big, feat)))(jax.random.PRNGKey(15))
-    for mode, precision in (("bsr", "highest"), ("bsr", "default"),
-                            ("coo", "highest")):
-        tag = f"{mode}_bf16" if precision == "default" else mode
+    cases = [("bsr", "highest", "xla", "bsr"),
+             ("bsr", "default", "xla", "bsr_bf16"),
+             ("bsr", "highest", "pallas", "bsr_pallas"),
+             ("bsr", "default", "pallas", "bsr_pallas_bf16"),
+             ("coo", "highest", None, "coo")]
+    for mode, precision, variant, tag in cases:
         try:
             # operator threaded as a jit ARGUMENT (Operator is a
             # pytree), never a closure constant (CLAUDE.md: captured
             # device arrays become jaxpr constants XLA tries to fold)
             op_big = build_operator(g_big, mode, precision=precision)
+            if variant is not None:
+                op_big._variant = variant
             t = _spmm_rate(op_big, x_big)
             out[f"spmm_n40960_{tag}_edges_per_s"] = int(
                 g_big.num_edges / t)
@@ -506,10 +514,11 @@ def section_roofline(batch: int = 4096, t_r: int = 512,
         _sync(jax.tree_util.tree_leaves(r)[0])
         return (time.time() - t0) / (calls * spc)
 
-    # --- full fused step
+    # --- full fused step (bf16 compute = the shipped headline config)
     step = make_fused_iid_multi_step(
         model, optimizer, None, target, mask, valid, h_off, scaler,
-        batch_size=batch, steps_per_call=spc, packed=packed)
+        batch_size=batch, steps_per_call=spc, packed=packed,
+        compute_dtype=jnp.bfloat16)
     t_full = time_multi(lambda: step(params, opt_state, key))
     out["iid_full_us"] = round(t_full * 1e6, 1)
     out["train_batch_s_roofline_section"] = round(1.0 / t_full, 1)
@@ -548,10 +557,14 @@ def section_roofline(batch: int = 4096, t_r: int = 512,
             p, s = carry
 
             def loss_fn(pp):
+                from sgp_tpu.train.iid import _cast_floats
                 x, y, m = unpack_iid_rows(rows, feat, n_h, n_c)
-                y_hat = model.apply(pp, x, node_index=nv,
+                y_hat = model.apply(_cast_floats(pp, jnp.bfloat16),
+                                    x.astype(jnp.bfloat16),
+                                    node_index=nv,
                                     training=True, iid=True,
-                                    rngs={"dropout": k})
+                                    rngs={"dropout": k}
+                                    ).astype(jnp.float32)
                 sc = scaler.index_nodes_iid(nv)
                 v, cnt = _masked_reduce(_METRIC_FNS["mae"],
                                         sc.inverse_transform(y_hat),
@@ -573,7 +586,8 @@ def section_roofline(batch: int = 4096, t_r: int = 512,
     # --- speed-of-light floors
     single = make_fused_iid_step(model, optimizer, None, target, mask,
                                  valid, h_off, scaler,
-                                 batch_size=batch, packed=packed)
+                                 batch_size=batch, packed=packed,
+                                 compute_dtype=jnp.bfloat16)
     flops_step = None
     try:
         lowered = single.core.lower(params, opt_state, key, single.data)
@@ -603,7 +617,8 @@ def section_roofline(batch: int = 4096, t_r: int = 512,
     for b2 in (8192, 16384):
         step2 = make_fused_iid_multi_step(
             model, optimizer, None, target, mask, valid, h_off, scaler,
-            batch_size=b2, steps_per_call=spc, packed=packed)
+            batch_size=b2, steps_per_call=spc, packed=packed,
+            compute_dtype=jnp.bfloat16)
         t2 = time_multi(lambda: step2(params, opt_state, key))
         out[f"iid_b{b2}_samples_per_s"] = int(b2 / t2)
         if flops_step:

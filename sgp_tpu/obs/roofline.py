@@ -18,6 +18,11 @@ from dataclasses import dataclass
 HBM_BW_BYTES_S = 819e9          # HBM bandwidth per chip
 PEAK_BF16_FLOPS = 197e12        # MXU peak, bf16 inputs / f32 accumulate
 F32_MXU_PASSES = 6              # 'highest' f32 matmul = 6 bf16 passes
+# measured on this chip (r3 gather probe, bench log): a random-row
+# gather of ~1 KB rows sustains ~20M rows/s regardless of sort order —
+# latency-bound, far off the byte-bandwidth bound. Any bound on a
+# random-gather program must include this term or it is fiction.
+ROW_GATHER_LAT_S = 5.0e-8
 
 
 @dataclass
@@ -80,12 +85,15 @@ def coo_spmm_bound(n_edges: int, n: int, f: int,
 
 def iid_step_bound(batch: int, row_bytes: int, flops_per_step: float,
                    param_bytes: int = 0) -> dict:
-    """The fused IID train step's floor: the sample-row gather is HBM
-    traffic that cannot be removed; the fwd/bwd GEMMs are MXU time;
-    Adam reads/writes the parameter state. Returns both the
-    perfectly-overlapped floor (max) and the serial floor (sum) —
-    the truth lies between."""
-    t_gather = batch * row_bytes / HBM_BW_BYTES_S
+    """The fused IID train step's floor: the sample-row gather is
+    latency-bound random access (``ROW_GATHER_LAT_S`` per row — the
+    byte-bandwidth term alone would understate it ~40x, measured);
+    the fwd/bwd GEMMs are MXU time; Adam reads/writes the parameter
+    state. Returns both the perfectly-overlapped floor (max; XLA-TPU
+    runs ops sequentially, so this is unattainable on current
+    hardware) and the serial floor (sum — the honest target)."""
+    t_gather = max(batch * row_bytes / HBM_BW_BYTES_S,
+                   batch * ROW_GATHER_LAT_S)
     t_mxu = flops_per_step / PEAK_BF16_FLOPS
     t_adam = param_bytes / HBM_BW_BYTES_S
     overlap = max(t_gather, t_mxu, t_adam)

@@ -103,7 +103,12 @@ class COOOperator:
 
 @jax.tree_util.register_pytree_node_class
 class BSROperator:
-    """128x128 block-sparse operator consumed by the Pallas SpMM kernel.
+    """128x128 block-sparse operator with two execution variants:
+    ``'xla'`` (default) — tile gather + ONE batched MXU matmul +
+    sorted segment-sum (measured 1.23G edges/s at N=40960; large XLA
+    ops pipeline with no per-block DMA cost); ``'pallas'`` — the
+    hand-pipelined kernel in ``ops/bsr_kernel.py`` (0.89G measured;
+    half the HBM traffic, per-block DMA issue bound).
 
     Construct via :meth:`from_bsr` (host prep happens once there); the
     instance is then a pure pytree of device arrays, safe to pass through
@@ -112,47 +117,60 @@ class BSROperator:
 
     BLOCK = 128
 
-    def __init__(self, blocks, block_cols, row_ptr,
-                 num_nodes: int, n_block_rows: int):
+    def __init__(self, blocks, block_cols, row_ptr, block_rows,
+                 num_nodes: int, n_block_rows: int,
+                 variant: str = "xla"):
         self.blocks = blocks                # [nnzb, B, B] f32 or bf16
         self.block_cols = block_cols        # [nnzb]
         self.row_ptr = row_ptr              # [n_block_rows + 1]
+        self.block_rows = block_rows        # [nnzb] (sorted)
         self._num_nodes = int(num_nodes)
         self._n_block_rows = int(n_block_rows)
+        self._variant = variant             # 'xla' | 'pallas'
 
     @classmethod
     def from_bsr(cls, blocks, block_cols, row_ptr, num_nodes: int,
-                 dtype=jnp.float32) -> "BSROperator":
+                 dtype=jnp.float32, variant: str = "xla"
+                 ) -> "BSROperator":
         from sgp_tpu.ops.bsr_kernel import prepare_bsr
         import numpy as np
         b, cols, ptr = prepare_bsr(blocks, block_cols, row_ptr, dtype)
+        rows = np.repeat(np.arange(len(ptr) - 1, dtype=np.int32),
+                         np.diff(ptr))
         return cls(jnp.asarray(b), jnp.asarray(cols), jnp.asarray(ptr),
-                   num_nodes, len(np.asarray(row_ptr)) - 1)
+                   jnp.asarray(rows), num_nodes, len(ptr) - 1, variant)
 
     @property
     def num_nodes(self) -> int:
         return self._num_nodes
 
-    def __matmul__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from sgp_tpu.ops.bsr_kernel import bsr_spmm_prepared
-        if x.ndim == 2:
+    def _spmm2d(self, x: jnp.ndarray) -> jnp.ndarray:
+        from sgp_tpu.ops.bsr_kernel import (bsr_spmm_prepared,
+                                            bsr_spmm_xla)
+        if self._variant == "pallas":
             return bsr_spmm_prepared(self.blocks, self.block_cols,
                                      self.row_ptr, x, self._num_nodes,
                                      self._n_block_rows)
+        return bsr_spmm_xla(self.blocks, self.block_cols,
+                            self.block_rows, x, self._num_nodes,
+                            self._n_block_rows)
+
+    def __matmul__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if x.ndim == 2:
+            return self._spmm2d(x)
         lead = x.shape[:-2]
         flat = x.reshape((-1,) + x.shape[-2:])
-        out = jax.vmap(lambda xi: bsr_spmm_prepared(
-            self.blocks, self.block_cols, self.row_ptr, xi,
-            self._num_nodes, self._n_block_rows))(flat)
+        out = jax.vmap(self._spmm2d)(flat)
         return out.reshape(lead + out.shape[-2:])
 
     def tree_flatten(self):
-        return ((self.blocks, self.block_cols, self.row_ptr),
-                (self._num_nodes, self._n_block_rows))
+        return ((self.blocks, self.block_cols, self.row_ptr,
+                 self.block_rows),
+                (self._num_nodes, self._n_block_rows, self._variant))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, aux[0], aux[1])
+        return cls(*children, aux[0], aux[1], aux[2])
 
 
 @jax.tree_util.register_pytree_node_class

@@ -115,18 +115,41 @@ def _packed_dtype_ok(encoded) -> bool:
     return False
 
 
+def _cast_floats(tree, dtype):
+    """Cast every f32 leaf (mixed-precision compute: f32 master params,
+    bf16 forward/backward — the gradient of the cast accumulates f32)."""
+    return jax.tree.map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
+        tree)
+
+
 def _build_iid_sample_and_loss(model, encoded, target, mask,
                                valid_starts, horizon_offsets, scaler,
                                u=None, batch_size: int = 4096,
                                loss: str = "mae",
                                scale_target: bool = False,
-                               packed: bool = False):
+                               packed: bool = False,
+                               compute_dtype=None):
     """Shared core of the fused IID steps: returns ``(data,
     sample_and_loss)`` where ``sample_and_loss(params, rng, data)`` is
     the pure sampling+gather+forward+masked-loss function and ``data``
     the big-array pytree to thread through the jit boundary. Used by
     the single-trial step and the vmapped multi-trial step so their
-    sampling/gather semantics cannot drift."""
+    sampling/gather semantics cannot drift.
+
+    The two phases are also exposed separately
+    (``sample_and_loss.sample(rng, data)`` →
+    ``sample_and_loss.loss(params, sampled, rng)``) for callers that
+    want to prefetch or share a gather across trials (multi_trial) —
+    note XLA-TPU runs a program's ops sequentially, so prefetching
+    does NOT overlap gather with compute on this hardware (measured,
+    see make_fused_iid_multi_step).
+
+    ``compute_dtype=jnp.bfloat16`` runs the decoder fwd/bwd in bf16
+    (f32 master params; loss/metrics stay f32). Measured +7% on the
+    v5e (JAX's default f32 matmul precision already runs single-pass
+    bf16 MXU; the win is the halved activation traffic and VPU width).
+    """
     loss_pt = _METRIC_FNS[loss]
     n_h = int(np.asarray(horizon_offsets).shape[0])
     n_c = target.shape[-1]
@@ -150,12 +173,14 @@ def _build_iid_sample_and_loss(model, encoded, target, mask,
              jnp.asarray(horizon_offsets))) \
         + ((u,) if has_u else ())
 
-    def sample_and_loss(params, rng, data):
+    def sample(rng, data):
+        """Phase 1: draw (t, n) pairs and gather their rows. Returns
+        the sampled pytree consumed by :func:`loss_on_sampled`."""
         if packed:
             pk, valid = data[:2]
         else:
             enc, tgt, msk, valid, h_off = data[:5]
-        rng_t, rng_n, rng_d = jax.random.split(rng, 3)
+        rng_t, rng_n = jax.random.split(rng, 3)[:2]
         t = jax.random.choice(rng_t, valid, (batch_size,))
         n = jax.random.randint(rng_n, (batch_size,), 0, n_nodes)
         if packed:
@@ -165,16 +190,31 @@ def _build_iid_sample_and_loss(model, encoded, target, mask,
             x = enc[t, n]                       # [B, D]
             y = tgt[t[:, None] + h_off[None, :], n[:, None]]
             m = msk[t[:, None] + h_off[None, :], n[:, None]]
-        kwargs = {}
+        u_rows = None
         if has_u:
             u_arr = data[-1]
             if u_arr.ndim == 3:   # node-level [T, N, F] (e.g. keep_raw)
-                kwargs["u"] = u_arr[t, n]       # [B, F] per-sample node
+                u_rows = u_arr[t, n]            # [B, F] per-sample node
             else:                 # global [T, F]
-                kwargs["u"] = u_arr[t]
+                u_rows = u_arr[t]
+        return (x, y, m, n, u_rows)
+
+    def loss_on_sampled(params, sampled, rng):
+        """Phase 2: forward + masked loss on pre-gathered rows. ``rng``
+        is the SAME per-step key as in phase 1 (the dropout stream is
+        its third split, exactly as in the fused form)."""
+        x, y, m, n, u_rows = sampled
+        rng_d = jax.random.split(rng, 3)[2]
+        kwargs = {} if u_rows is None else {"u": u_rows}
+        if compute_dtype is not None:
+            params = _cast_floats(params, compute_dtype)
+            x = x.astype(compute_dtype)
+            if u_rows is not None:
+                kwargs["u"] = u_rows.astype(compute_dtype)
         sc = scaler.index_nodes_iid(n)
         y_hat = model.apply(params, x, node_index=n, training=True,
                             iid=True, rngs={"dropout": rng_d}, **kwargs)
+        y_hat = y_hat.astype(jnp.float32)
         if scale_target:
             y_ref = sc.transform(y)
         else:
@@ -183,6 +223,11 @@ def _build_iid_sample_and_loss(model, encoded, target, mask,
         v, cnt = _masked_reduce(loss_pt, y_hat, y_ref, m)
         return v / jnp.maximum(cnt, 1.0)
 
+    def sample_and_loss(params, rng, data):
+        return loss_on_sampled(params, sample(rng, data), rng)
+
+    sample_and_loss.sample = sample
+    sample_and_loss.loss = loss_on_sampled
     return data, sample_and_loss
 
 
@@ -197,7 +242,8 @@ def make_fused_iid_step(model, optimizer,
                         batch_size: int = 4096,
                         loss: str = "mae",
                         scale_target: bool = False,
-                        packed: bool = False) -> Callable:
+                        packed: bool = False,
+                        compute_dtype=None) -> Callable:
     """Build ``step(params, opt_state, rng) -> (params, opt_state, loss)``
     with everything fused into one jitted program.
 
@@ -211,7 +257,8 @@ def make_fused_iid_step(model, optimizer,
     row gather — the separate per-(t+h, n) scalar gathers of
     target/mask cost ~3x the feature gather on TPU (measured
     0.42 ms vs 0.13 ms at batch 4096, PV-US scale; packed reaches
-    2153 batch/s vs 1236 unpacked). Targets are bit-exactly
+    ~2100 batch/s vs ~1240 unpacked — run-to-run spread on the shared
+    tunnel is ~5%, see BENCH_NOTES round 3). Targets are bit-exactly
     reconstructed from two bf16 lanes; features reach the model in bf16
     (as with bf16 device-resident encodings). Passing an ARRAY as
     ``packed`` uses it as the prebuilt packed layout (``encoded`` may
@@ -221,7 +268,8 @@ def make_fused_iid_step(model, optimizer,
     data, sample_and_loss = _build_iid_sample_and_loss(
         model, encoded, target, mask, valid_starts, horizon_offsets,
         scaler, u=u, batch_size=batch_size, loss=loss,
-        scale_target=scale_target, packed=packed)
+        scale_target=scale_target, packed=packed,
+        compute_dtype=compute_dtype)
 
     @jax.jit
     def _step(params, opt_state, rng, data):
@@ -236,6 +284,7 @@ def make_fused_iid_step(model, optimizer,
 
     step.core = _step     # (params, opt_state, rng, data) — data as args
     step.data = data
+    step.sample_and_loss = sample_and_loss
     return step
 
 
@@ -245,18 +294,33 @@ def make_fused_iid_multi_step(model, optimizer, encoded, target, mask,
                               loss: str = "mae",
                               scale_target: bool = False,
                               steps_per_call: int = 32,
-                              packed: bool = False) -> Callable:
+                              packed: bool = False,
+                              compute_dtype=None,
+                              pipeline: bool = False) -> Callable:
     """Like :func:`make_fused_iid_step` but runs ``steps_per_call``
     optimizer steps inside ONE jitted program (``lax.scan`` over steps) —
     amortizing host->device dispatch latency, which dominates when the
     device link is a remote tunnel. Returns
     ``multi_step(params, opt_state, rng) -> (params, opt_state,
-    mean_loss)``. The big arrays remain explicit jit arguments."""
+    mean_loss)``. The big arrays remain explicit jit arguments.
+
+    ``pipeline=True`` software-pipelines the scan: step ``i``'s row
+    gather is issued during step ``i-1``'s forward/backward (the
+    sampled rows ride the scan carry). BIT-IDENTICAL loss/param
+    trajectory to the unpipelined form — each step still samples with
+    its own key and drops out with that key's third split — verified
+    by ``tests/test_iid_fused.py``. MEASURED A WASH on TPU v5e
+    (2038 vs 2068 batch/s): XLA-TPU executes a program's ops strictly
+    sequentially, so the independent gather cannot overlap the
+    fwd/bwd; default False, kept for backends with op-level
+    concurrency."""
     single = make_fused_iid_step(model, optimizer, encoded, target, mask,
                                  valid_starts, horizon_offsets, scaler,
                                  u=u, batch_size=batch_size, loss=loss,
-                                 scale_target=scale_target, packed=packed)
+                                 scale_target=scale_target, packed=packed,
+                                 compute_dtype=compute_dtype)
     core, data = single.core, single.data
+    snl = single.sample_and_loss
 
     @jax.jit
     def _multi(params, opt_state, rng, data):
@@ -269,8 +333,33 @@ def make_fused_iid_multi_step(model, optimizer, encoded, target, mask,
             body, (params, opt_state), keys)
         return params, opt_state, losses.mean()
 
+    @jax.jit
+    def _multi_pipelined(params, opt_state, rng, data):
+        keys = jax.random.split(rng, steps_per_call)
+        first = snl.sample(keys[0], data)
+
+        def body(carry, key_pair):
+            p, s, sampled = carry
+            key_cur, key_next = key_pair
+            loss_val, grads = jax.value_and_grad(snl.loss)(
+                p, sampled, key_cur)
+            # next step's gather: independent of the param update —
+            # XLA overlaps it with the fwd/bwd above
+            nxt = snl.sample(key_next, data)
+            updates, s = optimizer.update(grads, s, p)
+            return (optax.apply_updates(p, updates), s, nxt), loss_val
+
+        # key i trains on rows sampled with key i; the carried prefetch
+        # for the last step is computed with a throwaway key
+        key_pairs = (keys, jnp.roll(keys, -1, axis=0))
+        (params, opt_state, _), losses = jax.lax.scan(
+            body, (params, opt_state, first), key_pairs)
+        return params, opt_state, losses.mean()
+
+    fn = _multi_pipelined if pipeline else _multi
+
     def multi_step(params, opt_state, rng):
-        return _multi(params, opt_state, rng, data)
+        return fn(params, opt_state, rng, data)
 
     return multi_step
 

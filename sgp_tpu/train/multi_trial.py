@@ -60,7 +60,9 @@ def make_fused_iid_multi_trial_step(model,
                                     loss: str = "mae",
                                     scale_target: bool = False,
                                     steps_per_call: int = 1,
-                                    packed: bool = False) -> Callable:
+                                    packed: bool = False,
+                                    compute_dtype=None,
+                                    pipeline: bool = False) -> Callable:
     """Build ``step(params_stack, opt_stack, rng) -> (params_stack,
     opt_stack, losses[K])`` training all K trials on the same sampled
     batches. Per-trial optimizer is ``clip_by_global_norm(grad_clip) →
@@ -69,7 +71,11 @@ def make_fused_iid_multi_trial_step(model,
 
     ``step.init_opt(params_stack)`` builds the stacked optimizer state.
     The big arrays stay explicit jit arguments (never closure
-    constants), exactly as in ``make_fused_iid_step``.
+    constants), exactly as in ``make_fused_iid_step``. ``pipeline``
+    and ``compute_dtype`` mirror :func:`make_fused_iid_multi_step` —
+    the shared gather is issued once per step and prefetched during
+    the K vmapped fwd/bwd passes, which is exactly where the K-trial
+    amortization pays.
     """
     lrs = jnp.asarray(lrs, jnp.float32)
     base = optax.chain(optax.clip_by_global_norm(grad_clip),
@@ -77,27 +83,45 @@ def make_fused_iid_multi_trial_step(model,
     data, sample_and_loss = _build_iid_sample_and_loss(
         model, encoded, target, mask, valid_starts, horizon_offsets,
         scaler, u=u, batch_size=batch_size, loss=loss,
-        scale_target=scale_target, packed=packed)
+        scale_target=scale_target, packed=packed,
+        compute_dtype=compute_dtype)
 
-    def trial_update(params, opt_state, lr, rng, data):
-        loss_val, grads = jax.value_and_grad(sample_and_loss)(
-            params, rng, data)
+    def trial_update(params, opt_state, lr, sampled, rng):
+        loss_val, grads = jax.value_and_grad(sample_and_loss.loss)(
+            params, sampled, rng)
         updates, opt_state = base.update(grads, opt_state, params)
         updates = jax.tree.map(lambda g: -lr * g, updates)
         return optax.apply_updates(params, updates), opt_state, loss_val
 
-    # rng/data unbatched: sampling + gather trace once, shared by all K
+    # sampled/rng unbatched: the gather runs once, shared by all K
     v_update = jax.vmap(trial_update, in_axes=(0, 0, 0, None, None))
 
     @jax.jit
     def _multi(params, opt_state, rng, data):
-        def body(carry, key):
-            p, s = carry
-            p, s, losses = v_update(p, s, lrs, key, data)
-            return (p, s), losses
         keys = jax.random.split(rng, max(steps_per_call, 1))
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), keys)
+
+        if pipeline:
+            first = sample_and_loss.sample(keys[0], data)
+
+            def body(carry, key_pair):
+                p, s, sampled = carry
+                key_cur, key_next = key_pair
+                p, s, losses = v_update(p, s, lrs, sampled, key_cur)
+                nxt = sample_and_loss.sample(key_next, data)
+                return (p, s, nxt), losses
+
+            key_pairs = (keys, jnp.roll(keys, -1, axis=0))
+            (params, opt_state, _), losses = jax.lax.scan(
+                body, (params, opt_state, first), key_pairs)
+        else:
+            def body(carry, key):
+                p, s = carry
+                sampled = sample_and_loss.sample(key, data)
+                p, s, losses = v_update(p, s, lrs, sampled, key)
+                return (p, s), losses
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), keys)
         return params, opt_state, losses.mean(0)          # [K]
 
     def step(params, opt_state, rng):

@@ -291,3 +291,32 @@ def test_streaming_encode_prebuilt_ops(rng):
     out = streaming_encode(enc, x, g, time_chunk=4, ops=ops)
     ref = streaming_encode(enc, x, g, time_chunk=4)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_wavefront_matches_sequential(rng):
+    """The layer-pipelined wavefront scan is a pure scheduling change:
+    identical recurrence to the sequential scan at every chunk shape
+    (ragged final chunk included), for outputs, carried states, and
+    return_last_state."""
+    from sgp_tpu.encode.reservoir import Reservoir, reservoir_scan
+
+    res = Reservoir(input_size=5, hidden_size=16, num_layers=3, seed=3)
+    for t in (7, 255, 256, 257, 300):
+        x = jnp.asarray(
+            rng.standard_normal((t, 4, 5)).astype(np.float32))
+        seq = reservoir_scan(res.layers, "tanh", x, mode="sequential")
+        wav = reservoir_scan(res.layers, "tanh", x, mode="wavefront")
+        np.testing.assert_allclose(np.asarray(wav), np.asarray(seq),
+                                   atol=1e-5)
+        # state carried across a split stays aligned
+        s1, h1 = reservoir_scan(res.layers, "tanh", x[:t // 2],
+                                with_state=True, mode="wavefront")
+        s2, _ = reservoir_scan(res.layers, "tanh", x[t // 2:], h0=h1,
+                               with_state=True, mode="wavefront")
+        np.testing.assert_allclose(
+            np.asarray(jnp.concatenate([s1, s2], 0)), np.asarray(seq),
+            atol=1e-5)
+        ls = reservoir_scan(res.layers, "tanh", x,
+                            return_last_state=True, mode="wavefront")
+        np.testing.assert_allclose(
+            np.asarray(ls), np.asarray(seq[-1]), atol=1e-5)

@@ -382,3 +382,74 @@ def test_fused_iid_packed_falls_back_for_non_bf16(rng):
                             node_index=jnp.zeros(4, jnp.int32), iid=True)
         p2, s2, loss = step(params, opt.init(params), key)
         assert np.isfinite(float(loss))
+
+
+def _tiny_iid_setup(rng, t=60, n=6, d=8, packed=True):
+    from sgp_tpu.train.iid import pack_iid_data
+
+    target = rng.standard_normal((t, n, 1)).astype(np.float32)
+    mask = np.ones((t, n, 1), bool)
+    h_off = jnp.asarray([1, 3])
+    enc = jnp.asarray(
+        rng.standard_normal((t, n, d)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    pk = pack_iid_data(enc, jnp.asarray(target), jnp.asarray(mask),
+                       h_off) if packed else False
+    valid = jnp.arange(t - 4)
+    model = SGPModel(input_size=d, order=2, n_nodes=n, hidden_size=16,
+                     mlp_size=8, output_size=1, n_layers=1, horizon=2,
+                     positional_encoding=True, dropout=0.1)
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "dropout": key},
+                        jnp.zeros((4, d)),
+                        node_index=jnp.zeros(4, jnp.int32), iid=True)
+    optimizer = optax.adam(1e-3)
+    return (model, optimizer, params, optimizer.init(params),
+            jnp.asarray(target), jnp.asarray(mask), valid, h_off,
+            ScalerParams(jnp.zeros(1), jnp.ones(1)), pk)
+
+
+def test_pipelined_multi_step_matches_unpipelined(rng):
+    """pipeline=True must be a pure scheduling change: identical loss
+    and parameter trajectory to the sequential scan (same keys)."""
+    from sgp_tpu.train.iid import make_fused_iid_multi_step
+
+    (model, opt, params, opt_state, tgt, msk, valid, h_off, sc,
+     pk) = _tiny_iid_setup(rng)
+    outs = {}
+    for pipe in (False, True):
+        step = make_fused_iid_multi_step(
+            model, opt, None, tgt, msk, valid, h_off, sc,
+            batch_size=32, steps_per_call=5, packed=pk, pipeline=pipe)
+        p, s, loss = step(params, opt_state, jax.random.PRNGKey(7))
+        outs[pipe] = (p, float(loss))
+    np.testing.assert_allclose(outs[True][1], outs[False][1],
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[True][0]),
+                    jax.tree_util.tree_leaves(outs[False][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-7)
+
+
+def test_compute_dtype_bf16_trains(rng):
+    """bf16 fwd/bwd keeps f32 master params and stays close to the
+    f32 step's loss on the same keys."""
+    from sgp_tpu.train.iid import make_fused_iid_multi_step
+
+    (model, opt, params, opt_state, tgt, msk, valid, h_off, sc,
+     pk) = _tiny_iid_setup(rng)
+    losses = {}
+    for dt in (None, jnp.bfloat16):
+        step = make_fused_iid_multi_step(
+            model, opt, None, tgt, msk, valid, h_off, sc,
+            batch_size=32, steps_per_call=5, packed=pk,
+            compute_dtype=dt)
+        p, s, loss = step(params, opt_state, jax.random.PRNGKey(3))
+        losses[dt is None] = float(loss)
+        # master params stay f32
+        assert all(a.dtype == l.dtype for a, l in zip(
+            jax.tree_util.tree_leaves(p),
+            jax.tree_util.tree_leaves(params)))
+        assert np.isfinite(losses[dt is None])
+    assert abs(losses[True] - losses[False]) < 0.05 * (
+        abs(losses[True]) + 1e-6) + 0.05

@@ -98,3 +98,19 @@ def test_power_iteration_matches_eigvals(rng):
     exact = spectral_radius_exact(w)
     approx = float(power_iteration_spectral_radius(jnp.asarray(w)))
     assert abs(approx - exact) / exact < 1e-3
+
+
+@pytest.mark.parametrize("variant", ["xla", "pallas"])
+def test_bsr_variants_match_oracle(rng, variant):
+    """Both BSR execution variants (XLA batched-matmul and the Pallas
+    kernel) compute the same product."""
+    g = random_graph(rng, n=300, e=3000)
+    x = rng.standard_normal((g.num_nodes, 96)).astype(np.float32)
+    expect = g.to_dense() @ x
+    op = build_operator(g, "bsr")
+    op._variant = variant
+    out = np.asarray(spmm(op, jnp.asarray(x)))
+    np.testing.assert_allclose(out, expect, atol=1e-4)
+    # and through a jit boundary as a pytree argument
+    out2 = np.asarray(jax.jit(lambda o, v: o @ v)(op, jnp.asarray(x)))
+    np.testing.assert_allclose(out2, expect, atol=1e-4)
