@@ -24,7 +24,10 @@ from sgp_tpu.utils.logging import logger
 
 
 def load_config(path: str) -> dict:
-    if not os.path.isabs(path):
+    if not os.path.isabs(path) and not os.path.exists(path):
+        # resolve relative to the config dir only when the path isn't
+        # already valid from the cwd ("configs/traffic/x.yaml" and
+        # "traffic/x.yaml" both work)
         path = os.path.join(global_config["config_dir"], path)
     with open(path) as fp:
         return yaml.safe_load(fp) or {}

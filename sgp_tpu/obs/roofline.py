@@ -23,6 +23,15 @@ F32_MXU_PASSES = 6              # 'highest' f32 matmul = 6 bf16 passes
 # latency-bound, far off the byte-bandwidth bound. Any bound on a
 # random-gather program must include this term or it is fiction.
 ROW_GATHER_LAT_S = 5.0e-8
+# measured per-stored-block service floor for block-sparse SpMM at
+# F=128 (r3 bench, N=40960 band): FOUR independent implementations —
+# XLA batched-matmul and the hand-pipelined Pallas kernel, each in f32
+# and bf16 — plateau at 650-780 ns/block, ~5x the 32-128 KB byte time,
+# so the limiter is DMA issue/service latency, not bandwidth. The term
+# scales by f_tiles only for the per-f-tile fetches (the Pallas kernel
+# re-walks the store per F tile; the XLA variant amortizes — use the
+# bound with f_tiles=1 for it).
+BSR_BLOCK_LAT_S = 6.5e-7
 
 
 @dataclass
@@ -31,9 +40,13 @@ class Bound:
     seconds: float
     hbm_seconds: float
     mxu_seconds: float
+    lat_seconds: float = 0.0
 
     @property
     def limiter(self) -> str:
+        if (self.lat_seconds >= self.hbm_seconds
+                and self.lat_seconds >= self.mxu_seconds):
+            return "latency"
         return "hbm" if self.hbm_seconds >= self.mxu_seconds else "mxu"
 
     def pct_of(self, measured_seconds: float) -> float:
@@ -60,15 +73,25 @@ def dense_spmm_bound(n: int, f: int, itemsize: int = 4,
 
 def bsr_spmm_bound(nnzb: int, n_block_rows: int, f: int,
                    block: int = 128, blk_itemsize: int = 2,
-                   x_itemsize: int = 4) -> Bound:
-    """The Pallas row kernel's floor: per stored block, one block read
-    plus one x-tile read per F tile; each output tile written once."""
+                   x_itemsize: int = 4,
+                   per_f_tile_walk: bool = True) -> Bound:
+    """Block-sparse SpMM floor: per stored block, one block read plus
+    one x-tile read per F tile; each output tile written once; PLUS the
+    measured per-block DMA service floor (``BSR_BLOCK_LAT_S`` — the
+    byte model alone overstates attainable rate ~5x at F=128, see the
+    constant's derivation). ``per_f_tile_walk=False`` models the XLA
+    batched-matmul variant, which reads the block store once for all F
+    tiles."""
     f_tiles = max(1, -(-f // block))
-    bytes_moved = (nnzb * block * block * blk_itemsize * f_tiles
+    walk = f_tiles if per_f_tile_walk else 1
+    bytes_moved = (nnzb * block * block * blk_itemsize * walk
                    + nnzb * block * block * x_itemsize * f_tiles
                    + n_block_rows * block * block * x_itemsize * f_tiles)
     flops = 2.0 * nnzb * block * block * block * f_tiles
-    return _bound(bytes_moved, flops)
+    b = _bound(bytes_moved, flops)
+    t_lat = nnzb * walk * BSR_BLOCK_LAT_S
+    return Bound(max(b.seconds, t_lat), b.hbm_seconds, b.mxu_seconds,
+                 t_lat)
 
 
 def coo_spmm_bound(n_edges: int, n: int, f: int,
