@@ -12,6 +12,7 @@ import argparse
 import datetime
 import json
 import os
+import sys
 from typing import Callable, Optional
 
 import numpy as np
@@ -79,11 +80,20 @@ class Experiment:
         args = self.parser.parse_args(argv)
         if getattr(args, "config", None):
             cfg = load_config(args.config)
+            # YAML beats parser DEFAULTS, but a flag typed on the
+            # command line beats YAML (`--config sgp_la.yaml
+            # --dataset-name synthetic` means synthetic)
+            tokens = list(sys.argv[1:] if argv is None else argv)
+            given = {a.dest for a in self.parser._actions
+                     if any(t == opt or t.startswith(opt + "=")
+                            for t in tokens
+                            for opt in a.option_strings)}
             for key, value in cfg.items():
                 if not hasattr(args, key):
                     raise ValueError(
                         f"config key {key!r} is not a known flag")
-                setattr(args, key, value)
+                if key not in given:
+                    setattr(args, key, value)
         if getattr(args, "seed", -1) < 0:
             args.seed = int(np.random.randint(1e9))
         np.random.seed(args.seed)

@@ -261,7 +261,8 @@ def _run_restartable_fit(args, model, step, params, opt_state, key,
     --resume continues the EXACT run (same RNG stream as an
     uninterrupted run; model/train configs asserted). Returns
     ``(best_params, key, {"train_time_s": total_incl_pre_resume})``."""
-    from sgp_tpu.train.checkpoint import restore_run_state, save_run_state
+    from sgp_tpu.train.checkpoint import (AsyncCheckpointer,
+                                          restore_run_state)
 
     ckpt_every = getattr(args, "checkpoint_every", 0)
     ckpt_path = getattr(args, "checkpoint_path", "") \
@@ -279,6 +280,7 @@ def _run_restartable_fit(args, model, step, params, opt_state, key,
     # SGP_TPU_FAULT="epoch:N,marker:PATH" hard-kills the process at the
     # start of epoch N unless PATH exists (created on the way out, so
     # the fault fires exactly once across restarts)
+    ckpt = AsyncCheckpointer()
     fault = os.environ.get("SGP_TPU_FAULT", "")
     fault_epoch, fault_marker = -1, ""
     if fault:
@@ -303,10 +305,14 @@ def _run_restartable_fit(args, model, step, params, opt_state, key,
             logger.info(f"epoch {epoch}: train_mae={loss:.4f} "
                         f"({bps:.1f} batch/s)")
         if ckpt_every and (epoch + 1) % ckpt_every == 0:
-            save_run_state(ckpt_path, model, params, opt_state, key,
-                           epoch, best_loss, best_params,
-                           elapsed_s=elapsed + time.time() - t0,
-                           train_config=tc)
+            # async: the ~MB/s-tunnel device->host fetch rides a
+            # worker thread (arrays are immutable), so the step loop
+            # never stalls for the transfer
+            ckpt.save(ckpt_path, model, params, opt_state, key,
+                      epoch, best_loss, best_params,
+                      elapsed_s=elapsed + time.time() - t0,
+                      train_config=tc)
+    ckpt.wait()   # the last checkpoint is durable before we report
     return best_params, key, {
         "train_time_s": elapsed + time.time() - t0,
         "best_loss": best_loss}

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import threading
 from typing import Any, Dict, Optional
 
 import flax.serialization
@@ -57,6 +58,50 @@ def save_train_state(path: str, params: Any, opt_state: Any = None,
     with open(tmp, "wb") as fp:
         pickle.dump(state, fp)
     os.replace(tmp, path)  # atomic — a crash mid-write keeps the old ckpt
+
+
+class AsyncCheckpointer:
+    """Background checkpoint writer.
+
+    jax arrays are immutable, so a checkpoint's device->host fetch and
+    serialization can run on a worker thread while the step loop keeps
+    training on NEW buffers — no copy or synchronization is needed
+    beyond holding the references. This matters here because the
+    device link is a ~MB/s tunnel: the flagship decoder state measured
+    92 s to save synchronously (bench aux section), which would stall
+    training for the entire transfer at every ``--checkpoint-every``.
+
+    At most one save is in flight: a new :meth:`save` joins the
+    previous one first (a writer slower than the save cadence degrades
+    to the synchronous behavior, never to a queue). A writer exception
+    is re-raised at the next :meth:`save`/:meth:`wait` so failures
+    cannot pass silently. Call :meth:`wait` before reading the file or
+    exiting."""
+
+    def __init__(self, save_fn=None):
+        self._save_fn = save_fn or save_run_state
+        self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+
+    def save(self, *args, **kwargs):
+        self.wait()
+
+        def run():
+            try:
+                self._save_fn(*args, **kwargs)
+            except BaseException as e:   # surfaced on the next wait()
+                self._error = e
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
 
 
 def save_run_state(path: str, model, params, opt_state, rng,

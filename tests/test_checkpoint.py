@@ -1,6 +1,7 @@
 """Restartable checkpoints + determinism (SURVEY.md §5.2: same seed ->
 same result serves as the race-detection analog)."""
 import numpy as np
+import pytest
 
 from sgp_tpu.data import (SpatioTemporalDataset, StandardScaler,
                           WindowedLoader, Windowing)
@@ -92,3 +93,54 @@ def test_fit_rejects_unknown_monitor(rng):
     with pytest.raises(ValueError, match="monitor"):
         p.fit(l, val_loader=l, epochs=1, monitor="nope",
               scaler=ds.scaler_params(), log_every=0)
+
+
+def test_async_checkpointer_matches_sync(rng, tmp_path):
+    """AsyncCheckpointer writes the same restorable state the
+    synchronous path writes, and serializes one-save-at-a-time."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from sgp_tpu.models.sgp import SGPModel
+    from sgp_tpu.train.checkpoint import (AsyncCheckpointer,
+                                          restore_run_state)
+
+    model = SGPModel(input_size=8, order=2, n_nodes=6, hidden_size=16,
+                     mlp_size=8, output_size=1, n_layers=1, horizon=2,
+                     positional_encoding=False, dropout=0.0)
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "dropout": key},
+                        jnp.zeros((4, 8)),
+                        node_index=jnp.zeros(4, jnp.int32), iid=True)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    path = str(tmp_path / "async.ckpt")
+    ck = AsyncCheckpointer()
+    for epoch in range(3):   # consecutive saves join their predecessor
+        ck.save(path, model, params, opt_state, key, epoch,
+                0.5 - epoch * 0.1, params, elapsed_s=1.0,
+                train_config={"lr": 1e-3})
+    ck.wait()
+    (p2, s2, rng2, start, best, bp, el) = restore_run_state(
+        path, model, params, opt_state, train_config={"lr": 1e-3})
+    assert start == 3 and abs(best - 0.3) < 1e-9
+    for a, b in zip(jax.tree_util.tree_leaves(p2),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_checkpointer_raises_writer_error(tmp_path):
+    from sgp_tpu.train.checkpoint import AsyncCheckpointer
+
+    def boom(*a, **k):
+        raise RuntimeError("disk full")
+
+    ck = AsyncCheckpointer(save_fn=boom)
+    ck.save("x")
+    with pytest.raises(RuntimeError, match="disk full"):
+        ck.wait()
+    # the error does not stick to the next save
+    ok = AsyncCheckpointer(save_fn=lambda *a, **k: None)
+    ok.save("y")
+    ok.wait()
