@@ -34,12 +34,37 @@ BASELINE_BATCH_S = 116.58  # PV-US 100-nn SGP row, BASELINE.md
 # relay-down fallback
 _LAST_REAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "log", "last_real_bench.json")
-BUDGET_S = 2700            # soft wall-clock budget for the whole run
-                           # (the driver applies no timeout: round-1's
-                           # run recorded a 765 s first compile; the
-                           # tunnel compile service's latency swings
-                           # 17-765 s for the same program)
+# HARD wall-clock budget. Round 3's driver run was killed by an external
+# timeout (BENCH_r03.json rc=124) with NOTHING on stdout — the budget
+# must be enforced strictly (no per-child minimums that overrun it) and
+# a full result line must be printed after EVERY section (see _emit) so
+# a kill at any point still leaves a parseable last line.
+BUDGET_S = float(os.environ.get("SGP_BENCH_BUDGET_S", 1800))
 PEAK_BF16_FLOPS = 197e12   # TPU v5e peak (MXU bf16)
+
+# Persistent compile cache for every TPU child. The tunnel's compile
+# service latency swings 17-1281 s per program; cache hits skip it
+# entirely. IMPORTANT: this must be set in the PARENT environment —
+# sitecustomize imports jax before any user code, so an in-process
+# os.environ assignment is read too late (measured: env set in-script
+# wrote 0 cache entries; inherited env works).
+_CACHE_ENV = {
+    "JAX_COMPILATION_CACHE_DIR": os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "0.2",
+    "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES": "-1",
+}
+
+
+def _enable_cache_inproc():
+    """Enable the persistent compile cache for THIS process (section
+    mode). jax is already imported (sitecustomize), so config.update is
+    the only effective route."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      _CACHE_ENV["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 N_NODES, T_STEPS, T_TRUE = 5016, 1024, 8868
 HORIZON, HORIZON_LAG = 22, 7
@@ -868,10 +893,12 @@ def _run_child(name: str, timeout: float) -> dict:
     """Run one section in a fresh process (fresh TPU session — its HBM
     truly frees on exit). Child prints its extras as JSON on stdout."""
     try:
+        env = dict(os.environ)
+        env.update(_CACHE_ENV)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--section", name],
             capture_output=True, text=True, timeout=max(timeout, 60),
-            cwd=os.path.dirname(os.path.abspath(__file__)))
+            cwd=os.path.dirname(os.path.abspath(__file__)), env=env)
         for line in reversed(proc.stdout.strip().splitlines()):
             line = line.strip()
             if line.startswith("{"):
@@ -914,6 +941,7 @@ def _relay_alive() -> bool:
 
 def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--section":
+        _enable_cache_inproc()
         name = sys.argv[2]
         if name.startswith("truescale"):
             result = section_truescale(int(name.split(":")[1]))
@@ -964,73 +992,100 @@ def main():
         return BUDGET_S - (time.time() - t_start)
 
     extras = {}
-    # HBM canary before the headline: if a previous OOM-killed program
-    # left HBM stranded server-side, wait it out (cheap throwaway
-    # children) instead of losing the headline child to it.
-    for attempt in range(5):
-        got = _run_child("probe:11", 150)
-        if "probe_ok_gb" in got:
-            if attempt:
-                extras["probe_attempts"] = attempt + 1
-            break
-        time.sleep(110)   # stranded HBM drains over ~10-30 min
-    else:
-        extras["probe_failed"] = got.get("probe:11_error", "?")[:80]
-    extras.update(_run_child("headline", remaining()))
-    if remaining() > 240:
-        extras.update(_run_child("roofline", max(remaining(), 420)))
-    else:
-        extras["roofline_skipped"] = "budget"
-    # trained-baseline rows (Table 2 comparison surface) — each model a
-    # fresh child so their HBM never accumulates
-    for m in ("dcrnn", "gwnet", "gatedgn"):
-        if remaining() > 180:
-            extras.update(_run_child(f"baseline:{m}",
-                                     max(remaining(), 420)))
-        else:
-            extras[f"baseline_{m}_skipped"] = "budget"
-    if remaining() > 240:
-        for t_scale in (T_TRUE, 4434):
-            time.sleep(30)   # the previous child's HBM frees on exit
-            #                  with a short server-side lag
-            got = _run_child(f"truescale:{t_scale}", remaining())
-            extras.update(got)
-            if any(k.startswith("stratified_batch_s") for k in got):
-                break
-    else:
-        extras["true_scale_skipped"] = "budget"
-    # min child budget: a BSR pass needs ~2-3 min incl. tunnel init,
-    # more when the compile service is in a slow window
-    extras.update(_run_child("bsr", max(remaining(), 480)))
-    if remaining() > 120:
-        extras.update(_run_child("serve", max(remaining(), 300)))
-    else:
-        extras["serve_skipped"] = "budget"
-    if remaining() > 120:
-        extras.update(_run_child("aux", max(remaining(), 900)))
-    else:
-        extras["aux_skipped"] = "budget"
 
-    batch_s = extras.pop("train_batch_s", 0.0)
-    extras["total_bench_wall_s"] = round(time.time() - t_start, 1)
-    if batch_s > 0:
-        # record for the relay-down fallback (never hand-copy the
-        # headline into code again)
-        try:
-            os.makedirs(os.path.dirname(_LAST_REAL_PATH), exist_ok=True)
-            with open(_LAST_REAL_PATH, "w") as f:
-                json.dump({"value": batch_s,
-                           "measured_utc": time.strftime(
-                               "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}, f)
-        except OSError:
-            pass
-    print(json.dumps({
-        "metric": "sgp_iid_decoder_train_throughput_pvus100nn_b4096",
-        "value": batch_s,
-        "unit": "batch/s",
-        "vs_baseline": round(batch_s / BASELINE_BATCH_S, 2),
-        "extras": extras,
-    }))
+    def _emit(final: bool = False):
+        """Print the CURRENT full result line and flush. Called after
+        every section so an external kill (round 3: rc=124, empty tail)
+        still leaves the most recent complete JSON as the last stdout
+        line. Only the last printed line counts."""
+        batch_s = extras.get("train_batch_s", 0.0)
+        line = {
+            "metric":
+                "sgp_iid_decoder_train_throughput_pvus100nn_b4096",
+            "value": batch_s,
+            "unit": "batch/s",
+            "vs_baseline": round(batch_s / BASELINE_BATCH_S, 2),
+            "extras": {k: v for k, v in extras.items()
+                       if k != "train_batch_s"},
+        }
+        line["extras"]["total_bench_wall_s"] = round(
+            time.time() - t_start, 1)
+        if not final:
+            line["partial"] = True
+        print(json.dumps(line), flush=True)
+        if final and batch_s > 0:
+            # record for the relay-down fallback (never hand-copy the
+            # headline into code again)
+            try:
+                os.makedirs(os.path.dirname(_LAST_REAL_PATH),
+                            exist_ok=True)
+                with open(_LAST_REAL_PATH, "w") as f:
+                    json.dump({"value": batch_s,
+                               "measured_utc": time.strftime(
+                                   "%Y-%m-%dT%H:%M:%SZ",
+                                   time.gmtime())}, f)
+            except OSError:
+                pass
+
+    # a SIGTERM (external timeout) still gets a final line out
+    import signal
+
+    def _on_term(signum, frame):
+        extras["killed_by_signal"] = signum
+        _emit(final=True)
+        sys.exit(0)
+
+    signal.signal(signal.SIGTERM, _on_term)
+
+    # HBM canary before the headline: if a previous OOM-killed program
+    # left HBM stranded server-side, give it ONE short grace period
+    # (r3 lesson: long retry loops here starve every later section).
+    got = _run_child("probe:11", 180)
+    if "probe_ok_gb" not in got:
+        time.sleep(90)
+        got = _run_child("probe:11", 180)
+        if "probe_ok_gb" not in got:
+            extras["probe_failed"] = got.get("probe:11_error", "?")[:80]
+    _emit()
+
+    # (section, per-child cap seconds, min remaining to even start).
+    # Caps assume a warm compile cache (bench.py is run once during the
+    # build round, so the driver's end-of-round run hits the cache);
+    # a cold-cache child that overruns its cap is dropped, not waited
+    # for — every later section still runs.
+    plan = [
+        ("headline", 900, 0),        # always attempt the headline
+        ("roofline", 420, 150),
+        ("baseline:dcrnn", 360, 150),
+        ("baseline:gwnet", 600, 200),
+        ("baseline:gatedgn", 360, 150),
+        ("bsr", 420, 150),
+        ("serve", 300, 130),
+        (f"truescale:{T_TRUE}", 540, 240),
+        ("aux", 700, 200),
+    ]
+    truescale_done = False
+    for name, cap, need in plan:
+        if name.startswith("truescale") and truescale_done:
+            continue
+        if remaining() < need:
+            extras[f"{name.replace(':', '_')}_skipped"] = "budget"
+            continue
+        budget = min(cap, max(remaining() - 30, 60))
+        got = _run_child(name, budget)
+        extras.update(got)
+        if name.startswith("truescale"):
+            truescale_done = any(k.startswith("stratified_batch_s")
+                                 for k in got)
+        if (name == f"truescale:{T_TRUE}" and not truescale_done
+                and remaining() > 240):
+            time.sleep(20)   # previous child's HBM frees with a lag
+            got = _run_child("truescale:4434",
+                             min(480, max(remaining() - 30, 60)))
+            extras.update(got)
+        _emit()
+
+    _emit(final=True)
 
 
 if __name__ == "__main__":

@@ -84,10 +84,23 @@ class Experiment:
             # command line beats YAML (`--config sgp_la.yaml
             # --dataset-name synthetic` means synthetic)
             tokens = list(sys.argv[1:] if argv is None else argv)
-            given = {a.dest for a in self.parser._actions
-                     if any(t == opt or t.startswith(opt + "=")
-                            for t in tokens
-                            for opt in a.option_strings)}
+            # detect given flags by RE-PARSING with every default set
+            # to SUPPRESS: only values actually typed land in the
+            # namespace. Literal option-string matching misses argparse
+            # prefix abbreviations (`--epoch` for `--epochs`), which
+            # would let YAML silently override an explicitly typed flag.
+            saved = [(a, a.default) for a in self.parser._actions]
+            saved_defaults = dict(self.parser._defaults)
+            try:
+                for a in self.parser._actions:
+                    a.default = argparse.SUPPRESS
+                self.parser._defaults.clear()
+                shadow, _ = self.parser.parse_known_args(tokens)
+                given = set(vars(shadow))
+            finally:
+                for a, d in saved:
+                    a.default = d
+                self.parser._defaults.update(saved_defaults)
             for key, value in cfg.items():
                 if not hasattr(args, key):
                     raise ValueError(

@@ -144,7 +144,8 @@ def run_experiment(args):
     key = jax.random.PRNGKey(args.seed)
     b0 = scaled_batch(np.arange(min(args.batch_size, len(split.train))))
     args0, kwargs0 = to_call(b0, False)
-    params = model.init({"params": key, "dropout": key}, *args0,
+    params = model.init({"params": key, "dropout": key,
+                         "state_init": key, "state_init_c": key}, *args0,
                         **{k: v for k, v in kwargs0.items()
                            if k != "training"})
 
@@ -164,12 +165,17 @@ def run_experiment(args):
         prediction_loss_weight=args.prediction_loss_weight,
         warm_up=args.warm_up_steps)
 
+    # eval draws noise-init states (when --state-init noise) from a rng
+    # FIXED across epochs, so val comparisons measure the params only
+    _eval_rngs = {"state_init": jax.random.PRNGKey(args.fault_seed),
+                  "state_init_c": jax.random.PRNGKey(args.fault_seed + 1)}
+
     @jax.jit
     def _infer(params, x_scaled, train_mask):
         x_in = jnp.where(train_mask, x_scaled, 0.0)
         iargs, ikwargs = to_call({"x": x_in, "mask": train_mask}, False)
         merged, _ = split_imputation_output(
-            model.apply(params, *iargs, **ikwargs))
+            model.apply(params, *iargs, rngs=_eval_rngs, **ikwargs))
         return sp.inverse_transform(merged)
 
     def evaluate(params, items):

@@ -19,6 +19,7 @@ from typing import List, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from sgp_tpu.graph.sparse import Graph, normalize_adj, transpose
 from sgp_tpu.models.blocks import get_activation
@@ -240,6 +241,18 @@ class GatedGraphNetwork(nn.Module):
             if edge_mask is not None:
                 # zero padding edges (static-shape subgraph batches)
                 m = m * edge_mask[..., :, None]
+            if self.sorted_edges and not isinstance(dst, jax.core.Tracer):
+                # sorted_edges feeds indices_are_sorted=True below; an
+                # unsorted dst would aggregate silently wrong. Concrete
+                # arrays (eager call, or trace-time constants) are
+                # checked once here; tracers can't be (callers passing
+                # dst through jit must sort on the host — coalesce does)
+                dn = np.asarray(dst)
+                if dn.size and np.any(np.diff(dn) < 0):
+                    raise ValueError(
+                        "sorted_edges=True but dst is not sorted "
+                        "ascending; sort edges by dst on the host "
+                        "(graph.coalesce) or pass sorted_edges=False")
             seg = lambda mb: jax.ops.segment_sum(
                 mb, dst, num_segments=n,
                 indices_are_sorted=self.sorted_edges)

@@ -53,7 +53,7 @@ def make_imputer_train_step(model, optimizer, batch_to_call: Callable,
     def loss_fn(params, batch, rng):
         x, mask = batch["x"], batch["mask"].astype(bool)
         # whitening: hide a random subset of observed points
-        rng_w, rng_d = jax.random.split(rng)
+        rng_w, rng_d, rng_s, rng_c = jax.random.split(rng, 4)
         keep = jax.random.uniform(rng_w, mask.shape) > whiten_prob
         train_mask = mask & keep
         target_mask = mask & ~keep
@@ -61,7 +61,12 @@ def make_imputer_train_step(model, optimizer, batch_to_call: Callable,
         batch_in["x"] = jnp.where(train_mask, x, 0.0)
         batch_in["mask"] = train_mask
         args, kwargs = batch_to_call(batch_in, True)
-        out = model.apply(params, *args, rngs={"dropout": rng_d}, **kwargs)
+        # state_init/state_init_c serve RNNI ``state_init='noise'``
+        # hidden-state draws (rnni.py::_init_carry); unused rng streams
+        # are harmless for models that never call make_rng on them
+        out = model.apply(params, *args,
+                          rngs={"dropout": rng_d, "state_init": rng_s,
+                                "state_init_c": rng_c}, **kwargs)
         merged, aux = split_imputation_output(out)
         # ground truth: ImputationDataset.gather_batch's ``y`` (raw
         # window; at eval_mask points x is zeroed, y holds the value)
