@@ -663,6 +663,21 @@ def section_roofline(batch: int = 4096, t_r: int = 512,
         out["mfu_vs_bf16_peak"] = round(
             flops_step / (PEAK * t_full), 4)
 
+    # --- blocked gather: G consecutive rows per draw (cluster sampling
+    # over a fixed node partition) — G-fold fewer random row fetches,
+    # attacking the gather-latency floor directly
+    for g_blk in (8,):
+        step_g = make_fused_iid_multi_step(
+            model, optimizer, None, target, mask, valid, h_off, scaler,
+            batch_size=batch, steps_per_call=spc, packed=packed,
+            compute_dtype=jnp.bfloat16, gather_block=g_blk)
+        t_g = time_multi(lambda: step_g(params, opt_state, key))
+        out[f"iid_block{g_blk}_batch_s"] = round(1.0 / t_g, 1)
+        out[f"iid_block{g_blk}_speedup"] = round(t_full / t_g, 2)
+        if flops_step:
+            out[f"iid_block{g_blk}_mfu"] = round(
+                flops_step / (PEAK * t_g), 4)
+
     # --- batch sweep: same program at larger batch
     for b2 in (8192, 16384):
         step2 = make_fused_iid_multi_step(
@@ -731,7 +746,7 @@ def section_baseline(name: str) -> dict:
             return (b["x"], supports), {"u": b.get("u"),
                                         "node_index": None,
                                         "training": training}
-    elif name == "gatedgn":
+    elif name in ("gatedgn", "gatedgn_bf16"):
         batch = 5
         from sgp_tpu.graph.sparse import padded_incoming
         si, nm = padded_incoming(g)     # exact 100-nn: zero padding
@@ -739,7 +754,9 @@ def section_baseline(name: str) -> dict:
         model = GatedGraphNetworkMLPModel(
             input_window_size=window, hidden_size=64, output_size=1,
             horizon=h_steps, n_nodes=N_NODES, enc_layers=2,
-            gnn_layers=2, positional_encoding=True, activation="silu")
+            gnn_layers=2, positional_encoding=True, activation="silu",
+            compute_dtype=("bfloat16" if name.endswith("bf16")
+                           else None))
 
         def to_call(b, training):
             return (b["x"],), {"neigh": neigh, "u": b.get("u"),
@@ -782,7 +799,8 @@ def section_baseline(name: str) -> dict:
                                                    bdata, k2)
     _sync(loss)
     bps = steps / (time.time() - t0)
-    ref = {"dcrnn": 2.04, "gwnet": 2.01, "gatedgn": 8.41}[name]
+    ref = {"dcrnn": 2.04, "gwnet": 2.01, "gatedgn": 8.41,
+           "gatedgn_bf16": 8.41}[name]
     out[f"{name}_batch_s"] = round(bps, 2)
     out[f"{name}_vs_a5000"] = round(bps / ref, 2)
     # compiled HBM footprint of the train step (Table 2's memory column)
@@ -1059,6 +1077,7 @@ def main():
         ("baseline:dcrnn", 360, 150),
         ("baseline:gwnet", 600, 200),
         ("baseline:gatedgn", 360, 150),
+        ("baseline:gatedgn_bf16", 360, 150),
         ("bsr", 420, 150),
         ("serve", 300, 130),
         (f"truescale:{T_TRUE}", 540, 240),

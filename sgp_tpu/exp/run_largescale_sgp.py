@@ -217,7 +217,8 @@ def run_experiment(args):
             # one wide row gather per sample instead of separate scalar
             # target/mask gathers: +74% step throughput on TPU. In the
             # streaming path ``packed`` IS the prebuilt packed array.
-            packed=packed)
+            packed=packed,
+            gather_block=getattr(args, "gather_block", 1))
 
         def test_eval_fn(p):
             # full-graph evaluation on the test split — ONE fused
@@ -615,6 +616,14 @@ def configure_parser_largescale():
                              "encode_dataset fallback, 'default' runs "
                              "the MXU in bf16 (faster, ~1e-2 feature "
                              "error)")
+    parser.add_argument("--gather-block", type=int, default=1,
+                        help="G>1: sample batch/G (time, node-block) "
+                             "pairs and gather G consecutive packed "
+                             "rows per draw — G-fold fewer random row "
+                             "fetches (the fused step's latency bound)."
+                             " Cluster sampling over a fixed node "
+                             "partition; requires G | batch and "
+                             "G | n_nodes and the packed layout")
     parser.add_argument("--packed-gather", type=str2bool, default=True,
                         help="pack features+targets+masks into one wide "
                              "bf16 row per (t, n) so the fused IID step "

@@ -55,6 +55,12 @@ def configure_parser() -> argparse.ArgumentParser:
     parser.add_argument("--positional-encoding", type=str2bool,
                         default=True)
     parser.add_argument("--activation", type=str, default="silu")
+    parser.add_argument("--compute-dtype", type=str, default="float32",
+                        choices=("float32", "bfloat16"),
+                        help="'bfloat16': run the GatedGN message "
+                             "layers in bf16 (f32 params and neighbor "
+                             "accumulation) — the TPU-native config; "
+                             "float32 matches the reference exactly")
     parser.add_argument("--max-edges", type=int, default=None)
     parser.add_argument("--cut-edges-uniformly", type=str2bool,
                         default=True)
@@ -169,7 +175,8 @@ def build_model_and_forward(args, ds, u_size):
                     n_nodes=ds.n_nodes, enc_layers=args.enc_layers,
                     gnn_layers=args.gnn_layers,
                     positional_encoding=args.positional_encoding,
-                    activation=args.activation)
+                    activation=args.activation,
+                    compute_dtype=getattr(args, "compute_dtype", None))
         src = None if args.full_graph else jnp.asarray(
             g.src.astype(np.int32))
         dst = None if args.full_graph else jnp.asarray(

@@ -26,14 +26,28 @@ class DCRNNCell(nn.Module):
 
     @nn.compact
     def __call__(self, x, h, supports: Sequence[Operator]):
+        # Diffusion is linear and channel-separable, so the three
+        # gates' SpMMs share work instead of each running their own
+        # K-hop loop (3 full-width loops -> one [x,h] + one r*h loop,
+        # bit-identical results): r and u consume the same [x,h] hops,
+        # and the candidate's [x, r*h] hops reuse the x-channel block.
+        f_in = x.shape[-1]
         xh = jnp.concatenate([x, h], -1)
+        hops_xh = DiffConv.hops(xh, supports, self.k)
         r = nn.sigmoid(DiffConv(self.hidden_size, self.k,
-                                self.root_weight)(xh, supports))
+                                self.root_weight)(
+                                    xh, supports, hops=hops_xh))
         u = nn.sigmoid(DiffConv(self.hidden_size, self.k,
-                                self.root_weight)(xh, supports))
-        xc = jnp.concatenate([x, r * h], -1)
+                                self.root_weight)(
+                                    xh, supports, hops=hops_xh))
+        w = r * h
+        hops_xc = [jnp.concatenate([hx[..., :f_in], hw], -1)
+                   for hx, hw in zip(hops_xh,
+                                     DiffConv.hops(w, supports, self.k))]
+        xc = jnp.concatenate([x, w], -1)
         c = jnp.tanh(DiffConv(self.hidden_size, self.k,
-                              self.root_weight)(xc, supports))
+                              self.root_weight)(
+                                  xc, supports, hops=hops_xc))
         return u * h + (1.0 - u) * c
 
 

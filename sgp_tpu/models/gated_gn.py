@@ -43,19 +43,31 @@ class _GatedGNBase(nn.Module):
     positional_encoding: bool = True
     activation: str = "silu"
     sorted_edges: bool = False   # edges pre-sorted by dst (coalesce)
+    # 'bfloat16' runs the GN message layers (the HBM-dominant
+    # [.., N, D, h] intermediates) in bf16 with f32 params and f32
+    # neighbor accumulation — the TPU-native training configuration;
+    # None keeps everything f32 (reference parity)
+    compute_dtype: Optional[str] = None
+
+    def _dt(self):
+        return (jnp.bfloat16 if self.compute_dtype in
+                ("bf16", "bfloat16") else None)
 
     def _decode(self, x, node_index, src, dst, edge_mask=None,
                 sorted_edges: bool = False, neigh=None):
         act = get_activation(self.activation)
+        dt = self._dt()
         if self.positional_encoding:
             x = x + StaticGraphEmbedding(self.n_nodes, self.hidden_size)(
                 token_index=node_index)
         for _ in range(self.gnn_layers):
             x = GatedGraphNetwork(self.hidden_size, self.activation,
-                                  sorted_edges=sorted_edges)(
+                                  sorted_edges=sorted_edges, dtype=dt)(
                 x, src, dst, edge_mask=edge_mask, neigh=neigh)
-        x = act(nn.Dense(self.hidden_size)(x)) + x
-        out = nn.Dense(self.horizon * self.output_size)(x)
+        x = act(nn.Dense(self.hidden_size, dtype=dt)(x)) + x
+        # horizon readout stays f32
+        out = nn.Dense(self.horizon * self.output_size)(
+            x.astype(jnp.float32))
         b, n = out.shape[0], out.shape[1]
         return out.reshape(b, n, self.horizon, self.output_size
                            ).transpose(0, 2, 1, 3)

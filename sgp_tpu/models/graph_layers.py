@@ -68,14 +68,29 @@ class DiffConv(nn.Module):
     k: int
     root_weight: bool = True
 
-    @nn.compact
-    def __call__(self, x, supports: Sequence[Operator]):
-        out = [x] if self.root_weight else []
+    @staticmethod
+    def hops(x, supports: Sequence[Operator], k: int) -> list:
+        """The K-hop diffusion terms ``[op^1 x, .., op^k x]`` per
+        support, in the concat order ``__call__`` consumes. Exposed so
+        callers applying several DiffConvs to overlapping inputs (the
+        DCRNN gates) can compute the SpMMs once: diffusion is linear
+        and channel-separable, ``op @ [a, b] = [op @ a, op @ b]``."""
+        out = []
         for op in supports:
             cur = x
-            for _ in range(self.k):
+            for _ in range(k):
                 cur = op @ cur
                 out.append(cur)
+        return out
+
+    @nn.compact
+    def __call__(self, x, supports: Sequence[Operator], hops=None):
+        """``hops`` (optional) short-circuits the SpMM loop with
+        precomputed :meth:`hops` output — same values, shared work.
+        The parameter tree is identical either way."""
+        out = [x] if self.root_weight else []
+        out.extend(self.hops(x, supports, self.k)
+                   if hops is None else hops)
         return nn.Dense(self.out_channels)(jnp.concatenate(out, -1))
 
 
@@ -208,10 +223,17 @@ class GatedGraphNetwork(nn.Module):
     layout: messages live in an ``[..., N, D, F]`` array and the
     aggregation is a contiguous ``sum`` over the neighbor axis — no
     scatter lowering at all, the fast path for static full-graph
-    training. Both layouts share the same parameter structure."""
+    training. Both layouts share the same parameter structure.
+
+    ``dtype`` (e.g. ``jnp.bfloat16``) runs the edge/message compute in
+    that dtype — the ``[..., N, D, h]`` message intermediates dominate
+    the layer's HBM traffic, so halving their bytes roughly halves the
+    bandwidth-bound step time; params stay f32, the output is cast
+    back to the input dtype."""
     output_size: int
     activation: str = "silu"
     sorted_edges: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, src: jnp.ndarray = None,
@@ -219,10 +241,12 @@ class GatedGraphNetwork(nn.Module):
                  edge_mask: jnp.ndarray = None, neigh=None):
         import jax
         act = get_activation(self.activation)
+        in_dtype = x.dtype
         n = x.shape[-2]
-        p_i = nn.Dense(self.output_size // 2)(x)            # W_i x + b
-        p_j = nn.Dense(self.output_size // 2,
-                       use_bias=False)(x)                   # W_j x
+        p_i = nn.Dense(self.output_size // 2,
+                       dtype=self.dtype)(x)                 # W_i x + b
+        p_j = nn.Dense(self.output_size // 2, use_bias=False,
+                       dtype=self.dtype)(x)                 # W_j x
         if neigh is not None:
             src_idx, nmask = neigh
             d = src_idx.shape[1]
@@ -232,11 +256,16 @@ class GatedGraphNetwork(nn.Module):
         else:
             m = act(jnp.take(p_i, dst, axis=-2)
                     + jnp.take(p_j, src, axis=-2))
-        m = act(nn.Dense(self.output_size)(m))
-        gate = nn.sigmoid(nn.Dense(1)(m))
+        m = act(nn.Dense(self.output_size, dtype=self.dtype)(m))
+        gate = nn.sigmoid(nn.Dense(1, dtype=self.dtype)(m))
         m = gate * m
+        # accumulate the neighbor sum in f32 when messages are bf16 —
+        # the upcast fuses into the reduction, so the [.., N, D, h]
+        # intermediate still lives in HBM at half width
+        acc = jnp.float32 if self.dtype is not None else m.dtype
         if neigh is not None:
-            agg = jnp.sum(m * nmask[..., None], axis=-2)  # over D
+            agg = jnp.sum((m * nmask[..., None]).astype(acc),
+                          axis=-2)  # over D
         else:
             if edge_mask is not None:
                 # zero padding edges (static-shape subgraph batches)
@@ -253,6 +282,7 @@ class GatedGraphNetwork(nn.Module):
                         "sorted_edges=True but dst is not sorted "
                         "ascending; sort edges by dst on the host "
                         "(graph.coalesce) or pass sorted_edges=False")
+            m = m.astype(acc)
             seg = lambda mb: jax.ops.segment_sum(
                 mb, dst, num_segments=n,
                 indices_are_sorted=self.sorted_edges)
@@ -262,9 +292,9 @@ class GatedGraphNetwork(nn.Module):
                 flat = m.reshape((-1,) + m.shape[-2:])
                 agg = jax.vmap(seg)(flat).reshape(
                     m.shape[:-2] + (n, m.shape[-1]))
-        out = nn.Dense(self.output_size)(
-            jnp.concatenate([agg, x], -1))
-        out = nn.Dense(self.output_size)(act(out))
+        out = nn.Dense(self.output_size, dtype=self.dtype)(
+            jnp.concatenate([agg, x.astype(agg.dtype)], -1))
+        out = nn.Dense(self.output_size, dtype=self.dtype)(act(out))
         skip = x if x.shape[-1] == self.output_size \
-            else nn.Dense(self.output_size)(x)
-        return out + skip
+            else nn.Dense(self.output_size, dtype=self.dtype)(x)
+        return (out + skip).astype(in_dtype)

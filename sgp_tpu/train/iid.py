@@ -129,7 +129,8 @@ def _build_iid_sample_and_loss(model, encoded, target, mask,
                                loss: str = "mae",
                                scale_target: bool = False,
                                packed: bool = False,
-                               compute_dtype=None):
+                               compute_dtype=None,
+                               gather_block: int = 1):
     """Shared core of the fused IID steps: returns ``(data,
     sample_and_loss)`` where ``sample_and_loss(params, rng, data)`` is
     the pure sampling+gather+forward+masked-loss function and ``data``
@@ -149,6 +150,17 @@ def _build_iid_sample_and_loss(model, encoded, target, mask,
     (f32 master params; loss/metrics stay f32). Measured +7% on the
     v5e (JAX's default f32 matmul precision already runs single-pass
     bf16 MXU; the win is the halved activation traffic and VPU width).
+
+    ``gather_block=G > 1`` (packed path only) samples ``batch/G``
+    (time, node-block) pairs and gathers G CONSECUTIVE packed rows per
+    draw — G-fold fewer random row fetches, attacking the measured
+    per-row gather latency that bounds the fused step (~46% of the
+    step at batch 4096; roofline section). The estimator changes from
+    per-pair IID to cluster sampling over a FIXED partition of nodes
+    into G-blocks (times stay IID): unbiased for the loss, slightly
+    correlated within a batch. Node order is an arbitrary graph
+    labeling, so pre-permuting nodes once makes the blocks random
+    subsets. Requires ``G | batch_size`` and ``G | n_nodes``.
     """
     loss_pt = _METRIC_FNS[loss]
     n_h = int(np.asarray(horizon_offsets).shape[0])
@@ -166,6 +178,14 @@ def _build_iid_sample_and_loss(model, encoded, target, mask,
     n_nodes = (encoded if encoded is not None else big).shape[1]
     feat = encoded.shape[-1] if encoded is not None \
         else big.shape[-1] - 3 * n_h * n_c
+    if gather_block > 1:
+        if not packed:
+            raise ValueError("gather_block > 1 requires the packed "
+                             "layout (packed=True or a prebuilt array)")
+        if batch_size % gather_block or n_nodes % gather_block:
+            raise ValueError(
+                f"gather_block={gather_block} must divide both "
+                f"batch_size={batch_size} and n_nodes={n_nodes}")
     # packed rows already carry the horizon-shifted targets/masks, so
     # the packed tuple needs no horizon_offsets array
     data = ((big, jnp.asarray(valid_starts)) if packed else
@@ -181,12 +201,26 @@ def _build_iid_sample_and_loss(model, encoded, target, mask,
         else:
             enc, tgt, msk, valid, h_off = data[:5]
         rng_t, rng_n = jax.random.split(rng, 3)[:2]
-        t = jax.random.choice(rng_t, valid, (batch_size,))
-        n = jax.random.randint(rng_n, (batch_size,), 0, n_nodes)
-        if packed:
-            rows = pk.reshape(-1, pk.shape[-1])[t * n_nodes + n]
+        if gather_block > 1:
+            g = gather_block
+            nb_count = n_nodes // g
+            draws = batch_size // g
+            t = jax.random.choice(rng_t, valid, (draws,))
+            nb = jax.random.randint(rng_n, (draws,), 0, nb_count)
+            width = pk.shape[-1]
+            blocks = pk.reshape(-1, g, width)      # [T*N/g, g, W]
+            rows = blocks[t * nb_count + nb].reshape(batch_size, width)
+            n = (nb[:, None] * g
+                 + jnp.arange(g, dtype=nb.dtype)[None, :]).reshape(-1)
+            t = jnp.repeat(t, g)
             x, y, m = unpack_iid_rows(rows, feat, n_h, n_c)
         else:
+            t = jax.random.choice(rng_t, valid, (batch_size,))
+            n = jax.random.randint(rng_n, (batch_size,), 0, n_nodes)
+        if packed and gather_block == 1:
+            rows = pk.reshape(-1, pk.shape[-1])[t * n_nodes + n]
+            x, y, m = unpack_iid_rows(rows, feat, n_h, n_c)
+        elif not packed:
             x = enc[t, n]                       # [B, D]
             y = tgt[t[:, None] + h_off[None, :], n[:, None]]
             m = msk[t[:, None] + h_off[None, :], n[:, None]]
@@ -243,7 +277,8 @@ def make_fused_iid_step(model, optimizer,
                         loss: str = "mae",
                         scale_target: bool = False,
                         packed: bool = False,
-                        compute_dtype=None) -> Callable:
+                        compute_dtype=None,
+                        gather_block: int = 1) -> Callable:
     """Build ``step(params, opt_state, rng) -> (params, opt_state, loss)``
     with everything fused into one jitted program.
 
@@ -269,7 +304,7 @@ def make_fused_iid_step(model, optimizer,
         model, encoded, target, mask, valid_starts, horizon_offsets,
         scaler, u=u, batch_size=batch_size, loss=loss,
         scale_target=scale_target, packed=packed,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, gather_block=gather_block)
 
     @jax.jit
     def _step(params, opt_state, rng, data):
@@ -296,7 +331,8 @@ def make_fused_iid_multi_step(model, optimizer, encoded, target, mask,
                               steps_per_call: int = 32,
                               packed: bool = False,
                               compute_dtype=None,
-                              pipeline: bool = False) -> Callable:
+                              pipeline: bool = False,
+                              gather_block: int = 1) -> Callable:
     """Like :func:`make_fused_iid_step` but runs ``steps_per_call``
     optimizer steps inside ONE jitted program (``lax.scan`` over steps) —
     amortizing host->device dispatch latency, which dominates when the
@@ -318,7 +354,8 @@ def make_fused_iid_multi_step(model, optimizer, encoded, target, mask,
                                  valid_starts, horizon_offsets, scaler,
                                  u=u, batch_size=batch_size, loss=loss,
                                  scale_target=scale_target, packed=packed,
-                                 compute_dtype=compute_dtype)
+                                 compute_dtype=compute_dtype,
+                                 gather_block=gather_block)
     core, data = single.core, single.data
     snl = single.sample_and_loss
 

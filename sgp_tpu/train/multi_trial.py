@@ -62,7 +62,8 @@ def make_fused_iid_multi_trial_step(model,
                                     steps_per_call: int = 1,
                                     packed: bool = False,
                                     compute_dtype=None,
-                                    pipeline: bool = False) -> Callable:
+                                    pipeline: bool = False,
+                                    gather_block: int = 1) -> Callable:
     """Build ``step(params_stack, opt_stack, rng) -> (params_stack,
     opt_stack, losses[K])`` training all K trials on the same sampled
     batches. Per-trial optimizer is ``clip_by_global_norm(grad_clip) →
@@ -84,7 +85,7 @@ def make_fused_iid_multi_trial_step(model,
         model, encoded, target, mask, valid_starts, horizon_offsets,
         scaler, u=u, batch_size=batch_size, loss=loss,
         scale_target=scale_target, packed=packed,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, gather_block=gather_block)
 
     def trial_update(params, opt_state, lr, sampled, rng):
         loss_val, grads = jax.value_and_grad(sample_and_loss.loss)(

@@ -66,6 +66,35 @@ def test_gated_gn_layer_aggregates_by_dst(rng):
     assert np.all(diff[[0, 1, 2, 3]] < 1e-6)
 
 
+def test_dcrnn_cell_shared_hops_parity(rng, graph):
+    """DCRNNCell's shared-SpMM gate computation equals the naive
+    three-independent-DiffConv GRU cell (diffusion is channel-separable,
+    so sharing the [x,h] hops and reusing the x-block for the candidate
+    is exact, not approximate)."""
+    from sgp_tpu.models.dcrnn import DCRNNCell
+    sup = diff_conv_support(graph, operator_mode="dense")
+    x = jnp.asarray(rng.standard_normal((2, 10, 4)).astype(np.float32))
+    h = jnp.asarray(rng.standard_normal((2, 10, 16)).astype(np.float32))
+    cell = DCRNNCell(hidden_size=16, k=2)
+    params, out = init_apply(cell, x, h, sup)
+
+    def naive(params, x, h, supports):
+        xh = jnp.concatenate([x, h], -1)
+        p = params["params"]
+        dc = DiffConv(out_channels=16, k=2)
+        r = jax.nn.sigmoid(dc.apply({"params": p["DiffConv_0"]}, xh,
+                                    supports))
+        u = jax.nn.sigmoid(dc.apply({"params": p["DiffConv_1"]}, xh,
+                                    supports))
+        xc = jnp.concatenate([x, r * h], -1)
+        c = jnp.tanh(dc.apply({"params": p["DiffConv_2"]}, xc, supports))
+        return u * h + (1.0 - u) * c
+
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(naive(params, x, h, sup)),
+                               atol=1e-5)
+
+
 def test_dcrnn_model(rng, graph):
     sup = diff_conv_support(graph, operator_mode="dense")
     x = jnp.asarray(rng.standard_normal((2, 6, 10, 1)).astype(np.float32))

@@ -3,6 +3,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from sgp_tpu.data import (ScalerParams, SpatioTemporalDataset, StandardScaler,
                           Windowing)
@@ -349,6 +350,74 @@ def test_fused_iid_packed_matches_unpacked(rng):
             ls.append(float(l))
         losses[packed] = ls
     np.testing.assert_array_equal(losses[False], losses[True])
+
+
+def test_fused_iid_gather_block_semantics(rng):
+    """gather_block=G gathers G CONSECUTIVE node rows per draw: every
+    sampled row must equal the packed row at its reported (t, n), node
+    indices must form aligned G-blocks, and the step must train."""
+    import optax
+
+    from sgp_tpu.train.iid import _build_iid_sample_and_loss
+    t, n, d, g = 60, 12, 8, 4
+    enc = jnp.asarray(rng.standard_normal((t, n, d)), jnp.bfloat16)
+    tgt = jnp.asarray(rng.standard_normal((t, n, 1)).astype(np.float32))
+    msk = jnp.asarray(np.ones((t, n, 1), bool))
+    valid = jnp.arange(t - 6)
+    h_off = jnp.asarray([1, 3, 5])
+    model = SGPModel(input_size=d, order=2, n_nodes=n, hidden_size=16,
+                     mlp_size=8, output_size=1, n_layers=1, horizon=3,
+                     positional_encoding=True)
+    sc = ScalerParams(jnp.zeros(1), jnp.ones(1))
+    data, snl = _build_iid_sample_and_loss(
+        model, enc, tgt, msk, valid, h_off, sc, batch_size=16,
+        packed=True, gather_block=g)
+    x, y, m, n_idx, _ = snl.sample(jax.random.PRNGKey(3), data)
+    n_np = np.asarray(n_idx).reshape(-1, g)
+    # aligned blocks of consecutive node ids
+    assert np.all(n_np % g == np.arange(g)[None, :])
+    assert np.all(np.diff(n_np, axis=1) == 1)
+    # x rows must be real encoding rows for SOME valid t at that node
+    enc_np = np.asarray(enc, np.float32)
+    x_np = np.asarray(x, np.float32)
+    for i, node in enumerate(np.asarray(n_idx)):
+        match = np.all(enc_np[:, node] == x_np[i][None, :], axis=1)
+        assert match.any()
+    # the full step trains (loss finite and decreasing-ish)
+    opt = optax.adam(5e-3)
+    step = make_fused_iid_step(model, opt, enc, tgt, msk, valid, h_off,
+                               sc, batch_size=16, packed=True,
+                               gather_block=g)
+    key = jax.random.PRNGKey(0)
+    p = model.init({"params": key, "dropout": key}, jnp.zeros((4, d)),
+                   node_index=jnp.zeros(4, jnp.int32), iid=True)
+    s = opt.init(p)
+    first = None
+    for i in range(30):
+        key, k2 = jax.random.split(key)
+        p, s, l = step(p, s, k2)
+        if first is None:
+            first = float(l)
+    assert np.isfinite(float(l)) and float(l) < first
+
+
+def test_fused_iid_gather_block_validates(rng):
+    from sgp_tpu.train.iid import make_fused_iid_step
+    import optax
+    enc = jnp.zeros((20, 10, 4), jnp.bfloat16)
+    tgt = jnp.zeros((20, 10, 1))
+    msk = jnp.ones((20, 10, 1), bool)
+    model = SGPModel(input_size=4, order=1, n_nodes=10, hidden_size=8,
+                     mlp_size=8, output_size=1, n_layers=1, horizon=1)
+    sc = ScalerParams(jnp.zeros(1), jnp.ones(1))
+    args = (model, optax.adam(1e-3), enc, tgt, msk, jnp.arange(10),
+            jnp.asarray([1]), sc)
+    with pytest.raises(ValueError):   # G does not divide n_nodes
+        make_fused_iid_step(*args, batch_size=16, packed=True,
+                            gather_block=8)
+    with pytest.raises(ValueError):   # blocked gather needs packed
+        make_fused_iid_step(*args, batch_size=16, packed=False,
+                            gather_block=2)
 
 
 def test_fused_iid_packed_falls_back_for_non_bf16(rng):
