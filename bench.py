@@ -39,7 +39,7 @@ _LAST_REAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 # must be enforced strictly (no per-child minimums that overrun it) and
 # a full result line must be printed after EVERY section (see _emit) so
 # a kill at any point still leaves a parseable last line.
-BUDGET_S = float(os.environ.get("SGP_BENCH_BUDGET_S", 1800))
+BUDGET_S = float(os.environ.get("SGP_BENCH_BUDGET_S", 2400))
 PEAK_BF16_FLOPS = 197e12   # TPU v5e peak (MXU bf16)
 
 # Persistent compile cache for every TPU child. The tunnel's compile
@@ -677,6 +677,13 @@ def section_roofline(batch: int = 4096, t_r: int = 512,
         if flops_step:
             out[f"iid_block{g_blk}_mfu"] = round(
                 flops_step / (PEAK * t_g), 4)
+            n_params_g = sum(int(np.prod(a.shape)) for a in
+                             jax.tree_util.tree_leaves(params))
+            gb = iid_step_bound(batch, width * 2, flops_step,
+                                param_bytes=n_params_g * 4 * 7,
+                                gather_block=g_blk)
+            out[f"iid_block{g_blk}_pct_of_roofline"] = round(
+                gb["floor_serial_s"] / t_g, 3)
 
     # --- batch sweep: same program at larger batch
     for b2 in (8192, 16384):
@@ -882,19 +889,27 @@ def section_aux() -> dict:
         except Exception as e:
             out[f"{tag}_error"] = str(e)[:120]
 
-    run_parse("traffic_fused_epoch_s", [
+    # each sub-runner must fit inside the PARENT's cap for this section
+    # (700 s in main's plan) — warm-cache epochs take seconds; a
+    # cold-cache compile that can't fit is dropped, not waited for
+    # T=8640 (a quarter of METR-LA's 34272): the sgp_la encoding is
+    # 1280-wide, so the full-T device-resident f32 encoding is 36 GB —
+    # it CANNOT fit one v5e's 15.75 GB HBM (measured OOM; full-T
+    # traffic needs the beyond-HBM stratified path). Quarter-T keeps
+    # the exact per-epoch program shapes at a footprint that fits.
+    run_parse("traffic_fused_epoch_s_T8640", [
         sys.executable, "-m", "sgp_tpu.exp.run_traffic_sgp",
         "--config", "configs/traffic/sgp_la.yaml",
         "--dataset-name", "synthetic",
-        "--synthetic-nodes", "207", "--synthetic-steps", "34272",
-        "--epochs", "4", "--patience", "100"], timeout=900)
+        "--synthetic-nodes", "207", "--synthetic-steps", "8640",
+        "--epochs", "4", "--patience", "100"], timeout=330)
 
     # --- imputation trainer epoch rate (GRIN, synthetic)
     run_parse("imputation_grin_epoch_s", [
         sys.executable, "-m", "sgp_tpu.exp.run_imputation",
         "--dataset-name", "synthetic", "--model-name", "grin",
         "--epochs", "3", "--batches-epoch", "16", "--patience", "10"],
-        timeout=900)
+        timeout=280)
     return out
 
 
@@ -1058,12 +1073,17 @@ def main():
     # HBM canary before the headline: if a previous OOM-killed program
     # left HBM stranded server-side, give it ONE short grace period
     # (r3 lesson: long retry loops here starve every later section).
-    got = _run_child("probe:11", 180)
-    if "probe_ok_gb" not in got:
+    # A TIMEOUT means the compile/tunnel is in a slow window, not
+    # stranded HBM — retrying just re-pays it, so only OOM-ish
+    # failures earn the sleep+retry.
+    got = _run_child("probe:11", 240)
+    err = got.get("probe:11_error", "")
+    if "probe_ok_gb" not in got and any(
+            s in err for s in ("EXHAUSTED", "OOM", "oom", "memory")):
         time.sleep(90)
-        got = _run_child("probe:11", 180)
-        if "probe_ok_gb" not in got:
-            extras["probe_failed"] = got.get("probe:11_error", "?")[:80]
+        got = _run_child("probe:11", 240)
+    if "probe_ok_gb" not in got:
+        extras["probe_failed"] = got.get("probe:11_error", "?")[:80]
     _emit()
 
     # (section, per-child cap seconds, min remaining to even start).
@@ -1071,15 +1091,20 @@ def main():
     # build round, so the driver's end-of-round run hits the cache);
     # a cold-cache child that overruns its cap is dropped, not waited
     # for — every later section still runs.
+    # Caps absorb the tunnel's first-dispatch variance (measured
+    # 170-570 s for the SAME cached program in different service
+    # windows); a child that still overruns is dropped, not waited
+    # for. If the total overruns an external kill, the incremental
+    # _emit lines above keep the last completed state parseable.
     plan = [
         ("headline", 900, 0),        # always attempt the headline
-        ("roofline", 420, 150),
-        ("baseline:dcrnn", 360, 150),
-        ("baseline:gwnet", 600, 200),
-        ("baseline:gatedgn", 360, 150),
-        ("baseline:gatedgn_bf16", 360, 150),
-        ("bsr", 420, 150),
-        ("serve", 300, 130),
+        ("roofline", 480, 150),
+        ("baseline:dcrnn", 700, 150),
+        ("baseline:gwnet", 900, 200),
+        ("baseline:gatedgn", 600, 150),
+        ("baseline:gatedgn_bf16", 600, 150),
+        ("bsr", 480, 150),
+        ("serve", 360, 130),
         (f"truescale:{T_TRUE}", 540, 240),
         ("aux", 700, 200),
     ]

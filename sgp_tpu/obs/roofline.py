@@ -107,16 +107,20 @@ def coo_spmm_bound(n_edges: int, n: int, f: int,
 
 
 def iid_step_bound(batch: int, row_bytes: int, flops_per_step: float,
-                   param_bytes: int = 0) -> dict:
+                   param_bytes: int = 0, gather_block: int = 1) -> dict:
     """The fused IID train step's floor: the sample-row gather is
     latency-bound random access (``ROW_GATHER_LAT_S`` per row — the
     byte-bandwidth term alone would understate it ~40x, measured);
     the fwd/bwd GEMMs are MXU time; Adam reads/writes the parameter
     state. Returns both the perfectly-overlapped floor (max; XLA-TPU
     runs ops sequentially, so this is unattainable on current
-    hardware) and the serial floor (sum — the honest target)."""
+    hardware) and the serial floor (sum — the honest target).
+
+    ``gather_block=G`` models the blocked gather (G consecutive rows
+    per random draw): the latency term counts DRAWS, the byte term
+    still counts every row."""
     t_gather = max(batch * row_bytes / HBM_BW_BYTES_S,
-                   batch * ROW_GATHER_LAT_S)
+                   batch // max(gather_block, 1) * ROW_GATHER_LAT_S)
     t_mxu = flops_per_step / PEAK_BF16_FLOPS
     t_adam = param_bytes / HBM_BW_BYTES_S
     overlap = max(t_gather, t_mxu, t_adam)

@@ -222,7 +222,20 @@ def build_operator(g: Graph, mode: str = "auto", dtype=jnp.float32,
                 1, (ptr.shape[0] - 1) ** 2)
             mode = "bsr" if block_density < 0.5 else "coo"
     if mode == "dense":
-        return DenseOperator(jnp.asarray(g.to_dense(), dtype), precision)
+        # scatter the edge list into [N, N] ON DEVICE: uploading the
+        # host-densified matrix moves N^2 bytes over the device link
+        # (~200 MB -> ~170 s at PV-US scale through the remote tunnel,
+        # measured as bench's 'dcrnn_train_compile_s'); the edge list
+        # is ~E*12 bytes. .add matches scipy's duplicate-sum semantics
+        # (edges are coalesced anyway).
+        src = jnp.asarray(g.src.astype(np.int32))
+        dst = jnp.asarray(g.dst.astype(np.int32))
+        w = jnp.asarray(g.weight, dtype)
+        mat = jax.jit(
+            lambda s, d, ww: jnp.zeros(
+                (g.num_nodes, g.num_nodes), dtype).at[d, s].add(ww)
+        )(src, dst, w)
+        return DenseOperator(mat, precision)
     if mode == "bsr":
         blocks, cols, ptr = g.to_bsr(BSROperator.BLOCK)
         # precision='default' -> bf16 block storage: halves the

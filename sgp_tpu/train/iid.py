@@ -130,7 +130,8 @@ def _build_iid_sample_and_loss(model, encoded, target, mask,
                                scale_target: bool = False,
                                packed: bool = False,
                                compute_dtype=None,
-                               gather_block: int = 1):
+                               gather_block: int = 1,
+                               node_perm=None):
     """Shared core of the fused IID steps: returns ``(data,
     sample_and_loss)`` where ``sample_and_loss(params, rng, data)`` is
     the pure sampling+gather+forward+masked-loss function and ``data``
@@ -161,6 +162,15 @@ def _build_iid_sample_and_loss(model, encoded, target, mask,
     correlated within a batch. Node order is an arbitrary graph
     labeling, so pre-permuting nodes once makes the blocks random
     subsets. Requires ``G | batch_size`` and ``G | n_nodes``.
+
+    ``node_perm`` (``[N] int``, with blocked gather) declares that the
+    packed array's node axis is ordered by a permutation:
+    ``packed[:, pos] == original[:, node_perm[pos]]``. Sampled
+    positions are mapped back through it so ``node_index`` (embedding/
+    scaler rows) refers to ORIGINAL node ids — pack a shuffled layout
+    once (``pack_iid_data(encoded[:, perm], target[:, perm],
+    mask[:, perm], ...)``) and the G-blocks become random node subsets
+    instead of label-adjacent ones.
     """
     loss_pt = _METRIC_FNS[loss]
     n_h = int(np.asarray(horizon_offsets).shape[0])
@@ -186,6 +196,10 @@ def _build_iid_sample_and_loss(model, encoded, target, mask,
             raise ValueError(
                 f"gather_block={gather_block} must divide both "
                 f"batch_size={batch_size} and n_nodes={n_nodes}")
+    elif node_perm is not None:
+        raise ValueError("node_perm only applies to the blocked gather "
+                         "(gather_block > 1); the per-pair IID path "
+                         "samples nodes uniformly already")
     # packed rows already carry the horizon-shifted targets/masks, so
     # the packed tuple needs no horizon_offsets array
     data = ((big, jnp.asarray(valid_starts)) if packed else
@@ -212,6 +226,10 @@ def _build_iid_sample_and_loss(model, encoded, target, mask,
             rows = blocks[t * nb_count + nb].reshape(batch_size, width)
             n = (nb[:, None] * g
                  + jnp.arange(g, dtype=nb.dtype)[None, :]).reshape(-1)
+            if node_perm is not None:
+                # sampled POSITIONS in the shuffled layout -> original
+                # node ids for the embedding / per-node scaler
+                n = jnp.take(jnp.asarray(node_perm), n)
             t = jnp.repeat(t, g)
             x, y, m = unpack_iid_rows(rows, feat, n_h, n_c)
         else:
@@ -278,7 +296,8 @@ def make_fused_iid_step(model, optimizer,
                         scale_target: bool = False,
                         packed: bool = False,
                         compute_dtype=None,
-                        gather_block: int = 1) -> Callable:
+                        gather_block: int = 1,
+                        node_perm=None) -> Callable:
     """Build ``step(params, opt_state, rng) -> (params, opt_state, loss)``
     with everything fused into one jitted program.
 
@@ -304,7 +323,8 @@ def make_fused_iid_step(model, optimizer,
         model, encoded, target, mask, valid_starts, horizon_offsets,
         scaler, u=u, batch_size=batch_size, loss=loss,
         scale_target=scale_target, packed=packed,
-        compute_dtype=compute_dtype, gather_block=gather_block)
+        compute_dtype=compute_dtype, gather_block=gather_block,
+        node_perm=node_perm)
 
     @jax.jit
     def _step(params, opt_state, rng, data):
@@ -332,7 +352,8 @@ def make_fused_iid_multi_step(model, optimizer, encoded, target, mask,
                               packed: bool = False,
                               compute_dtype=None,
                               pipeline: bool = False,
-                              gather_block: int = 1) -> Callable:
+                              gather_block: int = 1,
+                              node_perm=None) -> Callable:
     """Like :func:`make_fused_iid_step` but runs ``steps_per_call``
     optimizer steps inside ONE jitted program (``lax.scan`` over steps) —
     amortizing host->device dispatch latency, which dominates when the
@@ -355,7 +376,8 @@ def make_fused_iid_multi_step(model, optimizer, encoded, target, mask,
                                  u=u, batch_size=batch_size, loss=loss,
                                  scale_target=scale_target, packed=packed,
                                  compute_dtype=compute_dtype,
-                                 gather_block=gather_block)
+                                 gather_block=gather_block,
+                                 node_perm=node_perm)
     core, data = single.core, single.data
     snl = single.sample_and_loss
 

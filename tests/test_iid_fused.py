@@ -401,6 +401,42 @@ def test_fused_iid_gather_block_semantics(rng):
     assert np.isfinite(float(l)) and float(l) < first
 
 
+def test_fused_iid_gather_block_node_perm(rng):
+    """With a shuffled packed layout + node_perm, sampled rows must
+    still pair with their ORIGINAL node ids (embedding/scaler rows)."""
+    from sgp_tpu.train.iid import (_build_iid_sample_and_loss,
+                                   pack_iid_data)
+    t, n, d, g = 40, 12, 8, 4
+    enc = jnp.asarray(rng.standard_normal((t, n, d)), jnp.bfloat16)
+    tgt = jnp.asarray(rng.standard_normal((t, n, 1)).astype(np.float32))
+    msk = jnp.asarray(np.ones((t, n, 1), bool))
+    valid = jnp.arange(t - 6)
+    h_off = jnp.asarray([1, 3, 5])
+    perm = rng.permutation(n)
+    packed = pack_iid_data(enc[:, perm], tgt[:, perm], msk[:, perm],
+                           h_off)
+    model = SGPModel(input_size=d, order=2, n_nodes=n, hidden_size=16,
+                     mlp_size=8, output_size=1, n_layers=1, horizon=3,
+                     positional_encoding=True)
+    sc = ScalerParams(jnp.zeros(1), jnp.ones(1))
+    data, snl = _build_iid_sample_and_loss(
+        model, None, tgt, msk, valid, h_off, sc, batch_size=16,
+        packed=packed, gather_block=g, node_perm=jnp.asarray(perm))
+    x, y, m, n_idx, _ = snl.sample(jax.random.PRNGKey(7), data)
+    enc_np = np.asarray(enc, np.float32)
+    x_np = np.asarray(x, np.float32)
+    tgt_np = np.asarray(tgt)
+    for i, node in enumerate(np.asarray(n_idx)):
+        # x row i must be the ORIGINAL encoding of node `node` at some
+        # valid t, and y must be that same (t, node)'s horizon targets
+        match = np.all(enc_np[:, node] == x_np[i][None, :], axis=1)
+        assert match.any()
+        ti = int(np.argmax(match))
+        np.testing.assert_array_equal(
+            np.asarray(y)[i, :, 0],
+            tgt_np[ti + np.asarray(h_off), node, 0])
+
+
 def test_fused_iid_gather_block_validates(rng):
     from sgp_tpu.train.iid import make_fused_iid_step
     import optax
@@ -418,6 +454,9 @@ def test_fused_iid_gather_block_validates(rng):
     with pytest.raises(ValueError):   # blocked gather needs packed
         make_fused_iid_step(*args, batch_size=16, packed=False,
                             gather_block=2)
+    with pytest.raises(ValueError):   # node_perm needs blocked gather
+        make_fused_iid_step(*args, batch_size=16, packed=True,
+                            node_perm=jnp.arange(10))
 
 
 def test_fused_iid_packed_falls_back_for_non_bf16(rng):
