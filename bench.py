@@ -93,6 +93,73 @@ def _build_graph():
     return normalize_adj(coalesce(Graph.from_dense(adj)), "row")
 
 
+FULL_DENSITY = 0.1475       # PV-US full graph: 14.75% (paper Table 3)
+
+
+def _full_sim():
+    """Host similarity matrix + threshold for the FULL graph at PV-US
+    density. Same node positions as :func:`_build_graph`."""
+    rng = np.random.default_rng(0)
+    pos = rng.random((N_NODES, 2)).astype(np.float32)
+    d2 = ((pos[:, None] - pos[None]) ** 2).sum(-1)
+    sim = np.exp(-d2 / 0.01).astype(np.float32)
+    np.fill_diagonal(sim, 0.0)
+    thr = float(np.quantile(sim, 1.0 - FULL_DENSITY))
+    return pos, sim, thr
+
+
+def _full_dense_supports():
+    """Forward + backward row-normalized dense supports of the FULL
+    graph (3.7M edges at 14.75% density), built ON DEVICE from the node
+    positions — the only upload is [N, 2] (a host-densified operator or
+    a 3.7M-edge list would take minutes through the ~MB/s tunnel).
+    Returns ``(ops, n_edges)``."""
+    import jax
+    import jax.numpy as jnp
+
+    from sgp_tpu.ops.spmm import DenseOperator
+
+    pos, sim_h, thr = _full_sim()
+    n_edges = int((sim_h > thr).sum())
+
+    @jax.jit
+    def build(p):
+        d2 = ((p[:, None] - p[None]) ** 2).sum(-1)
+        sim = jnp.exp(-d2 / 0.01) * (1.0 - jnp.eye(N_NODES))
+        adj = jnp.where(sim > thr, sim, 0.0)
+
+        def row_norm(a):
+            deg = a.sum(1, keepdims=True)
+            return jnp.where(deg > 0, a / jnp.maximum(deg, 1e-38), 0.0)
+
+        return row_norm(adj), row_norm(adj.T)
+
+    fwd, bwd = build(jnp.asarray(pos))
+    return ([DenseOperator(fwd, "default"),
+             DenseOperator(bwd, "default")], n_edges)
+
+
+def _full_ell(max_edges: int = 2_500_000, seed: int = 2):
+    """ELL (padded-incoming) layout of the FULL graph with the
+    reference's uniform edge cap (``config/largescale/gatedgn_pv.yaml``:
+    ``max_edges: 2500000, cut_edges_uniformly: True`` — the (*) rows of
+    Table 2), one static uniform draw. Returns
+    ``(src_idx, mask, n_edges_kept)``."""
+    from sgp_tpu.graph import Graph
+    from sgp_tpu.graph.sparse import padded_incoming
+
+    _, sim_h, thr = _full_sim()
+    src, dst = np.nonzero(sim_h > thr)
+    if len(src) > max_edges:
+        keep = np.random.default_rng(seed).choice(
+            len(src), max_edges, replace=False)
+        src, dst = src[keep], dst[keep]
+    g = Graph(src.astype(np.int64), dst.astype(np.int64),
+              np.ones(len(src), np.float32), N_NODES)
+    si, nm = padded_incoming(g)
+    return si, nm, len(src)
+
+
 def _decoder(input_size: int):
     from sgp_tpu.models import SGPModel
     h_steps = len(range(0, HORIZON, HORIZON_LAG))      # 4 eval steps
@@ -706,13 +773,19 @@ def section_roofline(batch: int = 4096, t_r: int = 512,
 
 
 def section_baseline(name: str) -> dict:
-    """Trained-baseline throughput at PV-US 100-nn scale (paper Table 2
-    rows the round-2 verdict flagged as unproven): DCRNN / GraphWaveNet
-    / UG-Gated-GN on full-graph [B, 36, 5016, 1] windows with the
-    ``configs/largescale_100nn/*_pv.yaml`` hyperparameters and batch
-    sizes — the exact training-step shapes behind the reference's
-    2.04 / 2.01 / 8.41 batch/s on an RTX A5000. Reports batch/s plus
-    the step's compiled HBM footprint from XLA's memory analysis."""
+    """Trained-baseline throughput at PV-US scale: DCRNN /
+    GraphWaveNet / UG-Gated-GN on full-graph [B, 36, 5016, 1] windows
+    with the ``configs/largescale*/ *_pv.yaml`` hyperparameters and
+    batch sizes — the exact training-step shapes behind the
+    reference's Table-2 rows on an RTX A5000 (100-nn: 2.04 / 2.01 /
+    8.41 batch/s; full graph: 1.37 / 0.77 / 8.83). ``*_full`` variants
+    run the 14.75%-dense full graph: the dense-MXU diffusion supports
+    make DCRNN/GWNet insensitive to edge count (we run the HONEST 3.7M
+    edges where the reference had to cut DCRNN to 2M, its ``(*)``
+    rows); GatedGN's edge-space messages get the reference's own
+    2.5M uniform edge cap for like-for-like semantics. Reports
+    batch/s, MFU from XLA's cost model, and the step's compiled HBM
+    footprint."""
     import jax
     import jax.numpy as jnp
 
@@ -724,13 +797,21 @@ def section_baseline(name: str) -> dict:
     from sgp_tpu.train import Predictor
 
     out = {}
-    g = _build_graph()
+    full = name.endswith("_full")
+    base = name[:-5] if full else name
     window, exog_size = 36, 2
     h_steps = len(range(0, HORIZON, HORIZON_LAG))   # 4 eval steps
 
-    if name == "dcrnn":
-        batch = 2   # Table 2 batch size
-        supports = diff_conv_support(g, precision="default")
+    def dense_supports():
+        if full:
+            ops, n_edges = _full_dense_supports()
+            out[f"{name}_n_edges"] = n_edges
+            return ops
+        return diff_conv_support(_build_graph(), precision="default")
+
+    if base == "dcrnn":
+        batch = 1 if full else 2   # Table 2 batch sizes
+        supports = dense_supports()
         model = DCRNNModel(hidden_size=64, ff_size=128, output_size=1,
                            horizon=h_steps, n_layers=1,
                            exog_size=exog_size, kernel_size=2,
@@ -739,31 +820,38 @@ def section_baseline(name: str) -> dict:
         def to_call(b, training):
             return (b["x"], supports), {"u": b.get("u"),
                                         "training": training}
-    elif name == "gwnet":
+    elif base == "gwnet":
         batch = 2
-        supports = diff_conv_support(g, precision="default")
+        supports = dense_supports()
         model = GraphWaveNetModel(
             hidden_size=32, ff_size=256, output_size=1,
             horizon=h_steps, n_layers=8, exog_size=exog_size,
             temporal_kernel_size=2, spatial_kernel_size=2,
             learned_adjacency=True, n_nodes=N_NODES, emb_size=10,
-            dilation=2, dilation_mod=2, norm="batch", dropout=0.3)
+            dilation=2, dilation_mod=2, norm="batch", dropout=0.3,
+            remat_scan=False)   # step fits HBM; skip the ~+1/3 FLOPs
 
         def to_call(b, training):
             return (b["x"], supports), {"u": b.get("u"),
                                         "node_index": None,
                                         "training": training}
-    elif name in ("gatedgn", "gatedgn_bf16"):
-        batch = 5
-        from sgp_tpu.graph.sparse import padded_incoming
-        si, nm = padded_incoming(g)     # exact 100-nn: zero padding
+    elif base in ("gatedgn", "gatedgn_bf16"):
+        batch = 1 if full else 5
+        if full:
+            si, nm, kept = _full_ell(max_edges=2_500_000)
+            out[f"{name}_n_edges"] = kept
+            out[f"{name}_ell_width"] = int(si.shape[1])
+        else:
+            from sgp_tpu.graph.sparse import padded_incoming
+            si, nm = padded_incoming(_build_graph())  # exact 100-nn
         neigh = (jnp.asarray(si), jnp.asarray(nm))
         model = GatedGraphNetworkMLPModel(
             input_window_size=window, hidden_size=64, output_size=1,
             horizon=h_steps, n_nodes=N_NODES, enc_layers=2,
             gnn_layers=2, positional_encoding=True, activation="silu",
-            compute_dtype=("bfloat16" if name.endswith("bf16")
-                           else None))
+            # the full-graph row runs the shipped TPU-native bf16
+            # config; plain "gatedgn" keeps f32 for reference parity
+            compute_dtype=(None if name == "gatedgn" else "bfloat16"))
 
         def to_call(b, training):
             return (b["x"],), {"neigh": neigh, "u": b.get("u"),
@@ -807,17 +895,27 @@ def section_baseline(name: str) -> dict:
     _sync(loss)
     bps = steps / (time.time() - t0)
     ref = {"dcrnn": 2.04, "gwnet": 2.01, "gatedgn": 8.41,
-           "gatedgn_bf16": 8.41}[name]
+           "gatedgn_bf16": 8.41,       # reference row is batch-agnostic
+           # full-graph Table-2 rows (RTX A5000, BASELINE.md)
+           "dcrnn_full": 1.37, "gwnet_full": 0.77,
+           "gatedgn_full": 8.83}[name]
     out[f"{name}_batch_s"] = round(bps, 2)
     out[f"{name}_vs_a5000"] = round(bps / ref, 2)
-    # compiled HBM footprint of the train step (Table 2's memory column)
+    # compiled HBM footprint (Table 2's memory column) + MFU from XLA's
+    # own cost model — shows where each baseline sits against the MXU
     try:
-        lowered = pred._train_step.lower(params, opt_state, bdata, key)
-        mem = lowered.compile().memory_analysis()
+        comp = pred._train_step.lower(params, opt_state, bdata,
+                                      key).compile()
+        mem = comp.memory_analysis()
         if mem is not None:
             total = (mem.temp_size_in_bytes + mem.argument_size_in_bytes
                      + mem.output_size_in_bytes)
             out[f"{name}_step_hbm_gb"] = round(total / 2 ** 30, 2)
+        cost = comp.cost_analysis()
+        if cost and "flops" in cost:
+            out[f"{name}_flops_per_step"] = float(cost["flops"])
+            out[f"{name}_mfu"] = round(
+                float(cost["flops"]) * bps / PEAK_BF16_FLOPS, 4)
     except Exception as e:
         out[f"{name}_hbm_error"] = str(e)[:100]
     return out
@@ -913,12 +1011,65 @@ def section_aux() -> dict:
     return out
 
 
+def section_traffic_fullt() -> dict:
+    """FULL-T METR-LA-scale SGP training on ONE chip via the beyond-HBM
+    stratified path. The full-T precomputed sgp_la encoding is
+    [34272, 207, 1280] f32 = 36 GB — it cannot fit the 15.75 GB HBM
+    (measured OOM, CLAUDE.md round-4 notes), so only the
+    [34272, 207, 128] bf16 reservoir embedding stays resident and the
+    bidirectional K-hop propagation happens inside the fused step
+    (``make_fused_iid_stratified_step``). sgp_la.yaml encoder/decoder
+    hyperparameters; per-epoch wall parsed from the runner log
+    (steady-state epochs, first epoch's compile excluded)."""
+    import re
+    out = {}
+    batches_epoch = 50
+    cmd = [sys.executable, "-m", "sgp_tpu.exp.run_largescale_sgp",
+           "--dataset-name", "synthetic",
+           "--synthetic-nodes", "207", "--synthetic-steps", "34272",
+           "--iid-stratified", "true", "--adj-knn", "8",
+           "--window", "1", "--horizon", "12", "--horizon-lag", "1",
+           "--reservoir-size", "64", "--reservoir-layers", "2",
+           "--leaking-rate", "0.9", "--spectral-radius", "0.9",
+           "--alpha-decay", "true", "--receptive-field", "4",
+           "--bidirectional", "true", "--global-attr", "true",
+           "--hidden-size", "960", "--mlp-size", "256",
+           "--n-layers", "2", "--resnet", "true",
+           "--positional-encoding", "true", "--emb-size", "32",
+           "--batch-size", "4096", "--times-per-batch", "32",
+           "--batch-inference", "64",
+           "--epochs", "8", "--batches-epoch", str(batches_epoch),
+           "--patience", "100"]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=560)
+        text = (proc.stderr or "") + (proc.stdout or "")
+        times = _epoch_times_from_log(text)
+        if len(times) >= 2:
+            ep = float(np.median(times[1:]))
+            out["traffic_stratified_fullT34272_epoch_s"] = round(ep, 2)
+            out["traffic_stratified_fullT34272_batch_s"] = round(
+                batches_epoch / ep, 1)
+        else:
+            tail = text.strip().splitlines()[-1:]
+            out["traffic_fullt_error"] = (tail[0] if tail else
+                                          f"rc={proc.returncode}")[:140]
+        m = re.search(r"test_mae.?.?\s*([\d.]+)", text)
+        if m:
+            out["traffic_stratified_fullT34272_test_mae"] = float(
+                m.group(1))
+    except Exception as e:
+        out["traffic_fullt_error"] = str(e)[:140]
+    return out
+
+
 SECTIONS = {
     "headline": section_headline,
     "roofline": section_roofline,
     "bsr": section_bsr,
     "serve": section_serve,
     "aux": section_aux,
+    "traffic_fullt": section_traffic_fullt,
 }
 
 
@@ -1101,12 +1252,17 @@ def main():
         ("roofline", 480, 150),
         ("baseline:dcrnn", 700, 150),
         ("baseline:gwnet", 900, 200),
-        ("baseline:gatedgn", 600, 150),
         ("baseline:gatedgn_bf16", 600, 150),
+        # full-graph Table-2 rows (PV-US 14.75% dense, 3.7M edges)
+        ("baseline:dcrnn_full", 600, 150),
+        ("baseline:gwnet_full", 700, 150),
+        ("baseline:gatedgn_full", 600, 150),
         ("bsr", 480, 150),
         ("serve", 360, 130),
         (f"truescale:{T_TRUE}", 540, 240),
         ("aux", 700, 200),
+        ("traffic_fullt", 580, 200),
+        ("baseline:gatedgn", 600, 150),   # f32 reference-parity row
     ]
     truescale_done = False
     for name, cap, need in plan:

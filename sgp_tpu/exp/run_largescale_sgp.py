@@ -296,15 +296,20 @@ def _run_restartable_fit(args, model, step, params, opt_state, key,
             logger.info(f"FAULT INJECTION: dying at epoch {epoch}")
             os._exit(13)
         key, k = jax.random.split(key)
+        t_ep = time.time()
         params, opt_state, loss = step(params, opt_state, k)
-        loss = float(loss)
+        loss = float(loss)          # sync: the epoch really finished
+        dt_ep = time.time() - t_ep
         if loss < best_loss:
             best_loss, best_params = loss, params
         if epoch % max(1, args.epochs // 20) == 0:
             bps = (batches_epoch * (epoch + 1 - start_epoch)
                    / max(time.time() - t0, 1e-9))
+            # the trailing "(X.XXs)" is the per-epoch wall (steady-state
+            # epochs exclude the first epoch's compile; bench.py parses
+            # it) — the batch/s figure stays cumulative
             logger.info(f"epoch {epoch}: train_mae={loss:.4f} "
-                        f"({bps:.1f} batch/s)")
+                        f"({bps:.1f} batch/s) ({dt_ep:.2f}s)")
         if ckpt_every and (epoch + 1) % ckpt_every == 0:
             # async: the ~MB/s-tunnel device->host fetch rides a
             # worker thread (arrays are immutable), so the step loop
