@@ -1002,6 +1002,22 @@ def section_aux() -> dict:
         "--synthetic-nodes", "207", "--synthetic-steps", "8640",
         "--epochs", "4", "--patience", "100"], timeout=330)
 
+    # --- full-graph SpMM (PV-US full: 3.7M edges, 14.75% dense). The
+    # dense-MXU operator is density-insensitive: the full graph costs
+    # the same wall as the 100-nn graph, i.e. ~7.4x the edges/s — the
+    # reason the *_full baseline rows keep their 100-nn throughput
+    # where the reference's rows drop 1.5-2.6x (Table 2).
+    try:
+        ops_full, n_edges_full = _full_dense_supports()
+        xf = jax.jit(lambda k: jax.random.normal(
+            k, (N_NODES, 128)))(jax.random.PRNGKey(40))
+        t_full = _spmm_rate(ops_full[0], xf)
+        out["spmm_full_graph_edges_per_s"] = int(n_edges_full / t_full)
+        out["n_edges_full"] = n_edges_full
+        del ops_full, xf
+    except Exception as e:
+        out["spmm_full_error"] = str(e)[:120]
+
     # --- imputation trainer epoch rate (GRIN, synthetic)
     run_parse("imputation_grin_epoch_s", [
         sys.executable, "-m", "sgp_tpu.exp.run_imputation",

@@ -202,6 +202,28 @@ class SpatioTemporalAttention(nn.Module):
         return nn.LayerNorm()(x + h)
 
 
+def gather_nodes(v: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``jnp.take(v, idx, axis=-2)`` performed in NODE-MAJOR layout.
+
+    For ``v [..., N, F]`` with leading batch dims, the direct take
+    fetches one strided ``[B, 1, F]`` slab per index — B separate
+    narrow reads. Transposing to ``[N, B*F]`` first makes each index
+    one contiguous row, which the TPU gathers far faster (measured at
+    PV-US ELL scale, B=5 N=5016 F=32 E=501600 bf16: 12.0 -> 3.3 ms
+    forward and 39.7 -> 7.4 ms for the backward scatter-add; the
+    transposes fuse into producer/consumer). Identical values to the
+    plain take.
+    """
+    if v.ndim == 2:                       # no batch dims: already major
+        return jnp.take(v, idx, axis=0)
+    lead = v.shape[:-2]
+    f = v.shape[-1]
+    vt = jnp.moveaxis(v, -2, 0).reshape(v.shape[-2], -1)   # [N, B*F]
+    g = jnp.take(vt, idx, axis=0)                          # [E, B*F]
+    g = g.reshape((idx.shape[0],) + lead + (f,))
+    return jnp.moveaxis(g, 0, len(lead))                   # [..., E, F]
+
+
 class GatedGraphNetwork(nn.Module):
     """Edge-gated message passing (``gated_gn.py:9-64``):
     ``m_ij = sigmoid(g(f([x_i, x_j]))) * f([x_i, x_j])`` sum-aggregated
@@ -250,12 +272,11 @@ class GatedGraphNetwork(nn.Module):
         if neigh is not None:
             src_idx, nmask = neigh
             d = src_idx.shape[1]
-            pj_n = jnp.take(p_j, src_idx.reshape(-1), axis=-2)
+            pj_n = gather_nodes(p_j, src_idx.reshape(-1))
             pj_n = pj_n.reshape(pj_n.shape[:-2] + (n, d, -1))
             m = act(p_i[..., :, None, :] + pj_n)  # [..., N, D, h]
         else:
-            m = act(jnp.take(p_i, dst, axis=-2)
-                    + jnp.take(p_j, src, axis=-2))
+            m = act(gather_nodes(p_i, dst) + gather_nodes(p_j, src))
         m = act(nn.Dense(self.output_size, dtype=self.dtype)(m))
         gate = nn.sigmoid(nn.Dense(1, dtype=self.dtype)(m))
         m = gate * m
@@ -289,9 +310,14 @@ class GatedGraphNetwork(nn.Module):
             if m.ndim == 2:
                 agg = seg(m)
             else:
-                flat = m.reshape((-1,) + m.shape[-2:])
-                agg = jax.vmap(seg)(flat).reshape(
-                    m.shape[:-2] + (n, m.shape[-1]))
+                # node-major scatter: one segment-sum over [E, B*F]
+                # wide rows instead of a vmapped per-batch scatter of
+                # narrow rows (same layout win as gather_nodes)
+                lead = m.shape[:-2]
+                mt = jnp.moveaxis(m, -2, 0).reshape(m.shape[-2], -1)
+                agg = jnp.moveaxis(
+                    seg(mt).reshape((n,) + lead + (m.shape[-1],)),
+                    0, len(lead))
         out = nn.Dense(self.output_size, dtype=self.dtype)(
             jnp.concatenate([agg, x.astype(agg.dtype)], -1))
         out = nn.Dense(self.output_size, dtype=self.dtype)(act(out))
