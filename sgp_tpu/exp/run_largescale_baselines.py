@@ -50,18 +50,33 @@ def build_subgraph_forward(args, ds, u_size):
         import jax.numpy as jnp
         g_src = jnp.asarray(ds.graph.src.astype(np.int32))
         g_dst = jnp.asarray(ds.graph.dst.astype(np.int32))
+        # full-graph (non-subsampled) batches honor --gn-aggregation;
+        # subgraph batches always carry their own edge list
+        agg = getattr(args, "gn_aggregation", "edges")
+        gn_static = {}
+        if agg == "ell":
+            from sgp_tpu.graph.sparse import padded_incoming
+            si, nm = padded_incoming(ds.graph)
+            gn_static["neigh"] = (jnp.asarray(si), jnp.asarray(nm))
+        elif agg == "dense":
+            gn_static["adj"] = jnp.asarray(
+                (ds.graph.to_dense() != 0).astype(np.float32)).astype(
+                    jnp.bfloat16)
 
         def to_call(batch, training):
-            edge_mask = None
             if "sub_src" in batch:
-                src, dst = batch["sub_src"], batch["sub_dst"]
-                edge_mask = (batch["sub_weight"] != 0)
-            else:
-                src, dst = g_src, g_dst
+                return (batch["x"],), {
+                    "src": batch["sub_src"], "dst": batch["sub_dst"],
+                    "u": batch.get("u"),
+                    "node_index": batch.get("node_index"),
+                    "edge_mask": (batch["sub_weight"] != 0),
+                    "training": training}
             return (batch["x"],), {
-                "src": src, "dst": dst, "u": batch.get("u"),
+                "src": None if gn_static else g_src,
+                "dst": None if gn_static else g_dst,
+                "u": batch.get("u"),
                 "node_index": batch.get("node_index"),
-                "edge_mask": edge_mask, "training": training}
+                "edge_mask": None, "training": training, **gn_static}
         return base_model, to_call
     # rnn / fc_rnn need no graph
     return build_model_and_forward(args, ds, u_size)

@@ -61,6 +61,17 @@ def configure_parser() -> argparse.ArgumentParser:
                              "layers in bf16 (f32 params and neighbor "
                              "accumulation) — the TPU-native config; "
                              "float32 matches the reference exactly")
+    parser.add_argument("--gn-aggregation", type=str, default="edges",
+                        choices=("edges", "ell", "dense"),
+                        help="GatedGN message aggregation for "
+                             "full-graph batches: 'edges' = "
+                             "gather/segment-sum over the edge list; "
+                             "'ell' = scatter-free padded-incoming "
+                             "layout (best for k-nn graphs); 'dense' "
+                             "= all-pairs MXU messages masked by the "
+                             "dense adjacency (best for dense-ish "
+                             "graphs / small batch). Subgraph-sampled "
+                             "batches always use the edge list.")
     parser.add_argument("--max-edges", type=int, default=None)
     parser.add_argument("--cut-edges-uniformly", type=str2bool,
                         default=True)
@@ -177,16 +188,30 @@ def build_model_and_forward(args, ds, u_size):
                     positional_encoding=args.positional_encoding,
                     activation=args.activation,
                     compute_dtype=getattr(args, "compute_dtype", None))
-        src = None if args.full_graph else jnp.asarray(
-            g.src.astype(np.int32))
-        dst = None if args.full_graph else jnp.asarray(
-            g.dst.astype(np.int32))
+        agg = getattr(args, "gn_aggregation", "edges")
+        src = dst = None
+        gn_static = {}
+        if args.full_graph:
+            if agg == "dense":    # FC-GatedGN as all-pairs MXU blocks
+                gn_static["adj"] = jnp.ones(
+                    (ds.n_nodes, ds.n_nodes), jnp.bfloat16)
+        elif agg == "ell":
+            from sgp_tpu.graph.sparse import padded_incoming
+            si, nm = padded_incoming(g)
+            gn_static["neigh"] = (jnp.asarray(si), jnp.asarray(nm))
+        elif agg == "dense":
+            gn_static["adj"] = jnp.asarray(
+                (g.to_dense() != 0).astype(np.float32)).astype(
+                    jnp.bfloat16)
+        else:
+            src = jnp.asarray(g.src.astype(np.int32))
+            dst = jnp.asarray(g.dst.astype(np.int32))
 
         def to_call(batch, training):
             return (batch["x"],), {
                 "src": src, "dst": dst, "u": batch.get("u"),
                 "node_index": batch.get("node_index"),
-                "training": training}
+                "training": training, **gn_static}
         return model, to_call
     raise ValueError(f"Model {name} not available.")
 

@@ -54,7 +54,7 @@ class _GatedGNBase(nn.Module):
                 ("bf16", "bfloat16") else None)
 
     def _decode(self, x, node_index, src, dst, edge_mask=None,
-                sorted_edges: bool = False, neigh=None):
+                sorted_edges: bool = False, neigh=None, adj=None):
         act = get_activation(self.activation)
         dt = self._dt()
         if self.positional_encoding:
@@ -63,7 +63,7 @@ class _GatedGNBase(nn.Module):
         for _ in range(self.gnn_layers):
             x = GatedGraphNetwork(self.hidden_size, self.activation,
                                   sorted_edges=sorted_edges, dtype=dt)(
-                x, src, dst, edge_mask=edge_mask, neigh=neigh)
+                x, src, dst, edge_mask=edge_mask, neigh=neigh, adj=adj)
         x = act(nn.Dense(self.hidden_size, dtype=dt)(x)) + x
         # horizon readout stays f32
         out = nn.Dense(self.horizon * self.output_size)(
@@ -88,17 +88,20 @@ class GatedGraphNetworkMLPModel(_GatedGNBase):
 
     @nn.compact
     def __call__(self, x, src=None, dst=None, u=None, node_index=None,
-                 edge_mask=None, neigh=None, training: bool = False,
-                 **kwargs):
+                 edge_mask=None, neigh=None, adj=None,
+                 training: bool = False, **kwargs):
         # x: [b s n f]; neigh=(src_idx [N, D], mask) selects the
-        # scatter-free ELL aggregation (padded_incoming)
+        # scatter-free ELL aggregation (padded_incoming); adj
+        # ([N, N], A[dst, src] orientation) selects the dense
+        # all-pairs MXU aggregation for dense-ish graphs
         act = get_activation(self.activation)
         if u is not None:
             if u.ndim == 3:  # global exog -> broadcast over nodes
                 u = jnp.broadcast_to(u[:, :, None, :],
                                      x.shape[:3] + (u.shape[-1],))
             x = jnp.concatenate([x, u], -1)
-        src, dst, srt = (None, None, False) if neigh is not None \
+        src, dst, srt = (None, None, False) \
+            if (neigh is not None or adj is not None) \
             else self._edges(x, src, dst)
         xw = x[:, -self.input_window_size:]
         b, s, n, f = xw.shape
@@ -109,7 +112,7 @@ class GatedGraphNetworkMLPModel(_GatedGNBase):
                 act(nn.Dense(self.hidden_size)(h)))
             h = blk + h
         return self._decode(h, node_index, src, dst, edge_mask,
-                            sorted_edges=srt, neigh=neigh)
+                            sorted_edges=srt, neigh=neigh, adj=adj)
 
 
 class Conv1dResidual(nn.Module):

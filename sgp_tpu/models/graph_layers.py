@@ -245,7 +245,14 @@ class GatedGraphNetwork(nn.Module):
     layout: messages live in an ``[..., N, D, F]`` array and the
     aggregation is a contiguous ``sum`` over the neighbor axis — no
     scatter lowering at all, the fast path for static full-graph
-    training. Both layouts share the same parameter structure.
+    training. Passing ``adj`` (dense ``[N, N]`` with ``adj[dst, src]
+    != 0`` marking an edge, the repo's ``Graph.to_dense`` orientation)
+    computes ALL ``N^2`` messages as blocked batched GEMMs and
+    mask-reduces over the src axis — gather-free and
+    density-insensitive, the win region for dense-ish graphs (Table-2
+    "full" rows at 7–15% density) where per-edge gathers at small
+    batch hit the 64-byte-row latency floor. All layouts share the
+    same parameter structure (one init/checkpoint serves any of them).
 
     ``dtype`` (e.g. ``jnp.bfloat16``) runs the edge/message compute in
     that dtype — the ``[..., N, D, h]`` message intermediates dominate
@@ -260,7 +267,8 @@ class GatedGraphNetwork(nn.Module):
     @nn.compact
     def __call__(self, x, src: jnp.ndarray = None,
                  dst: jnp.ndarray = None,
-                 edge_mask: jnp.ndarray = None, neigh=None):
+                 edge_mask: jnp.ndarray = None, neigh=None,
+                 adj: jnp.ndarray = None):
         import jax
         act = get_activation(self.activation)
         in_dtype = x.dtype
@@ -269,22 +277,74 @@ class GatedGraphNetwork(nn.Module):
                        dtype=self.dtype)(x)                 # W_i x + b
         p_j = nn.Dense(self.output_size // 2, use_bias=False,
                        dtype=self.dtype)(x)                 # W_j x
-        if neigh is not None:
-            src_idx, nmask = neigh
-            d = src_idx.shape[1]
-            pj_n = gather_nodes(p_j, src_idx.reshape(-1))
-            pj_n = pj_n.reshape(pj_n.shape[:-2] + (n, d, -1))
-            m = act(p_i[..., :, None, :] + pj_n)  # [..., N, D, h]
+        # shared message/gate layers — created here (same auto-names /
+        # param tree for every aggregation layout) and called once or
+        # per block below
+        d_msg = nn.Dense(self.output_size, dtype=self.dtype)
+        d_gate = nn.Dense(1, dtype=self.dtype)
+        if adj is not None:
+            # Dense all-pairs messages on the MXU (``adj [N, N]``,
+            # nonzero = edge). For dense-ish graphs (the Table-2 "full"
+            # rows, 7-15% density) the per-edge gather at small batch
+            # hits the ~64-byte-row latency floor; computing ALL N^2
+            # messages as batched GEMMs over dst-row blocks is
+            # density-insensitive and gather-free — the GatedGN analog
+            # of the dense-MXU diffusion supports. Per-block
+            # ``jax.checkpoint`` keeps the [blk, N, h] intermediates
+            # out of the backward residual set (they are recomputed —
+            # MXU-cheap), so peak HBM stays one block deep.
+            h2 = p_i.shape[-1]
+            dt = self.dtype or in_dtype
+            # materialize the shared kernels once (tiny dummy rows) so
+            # the block fn can take them as explicit jax arguments
+            _ = d_msg(jnp.zeros((1, h2), dt))
+            _ = d_gate(jnp.zeros((1, self.output_size), dt))
+            w2 = d_msg.variables["params"]["kernel"].astype(dt)
+            b2 = d_msg.variables["params"]["bias"].astype(dt)
+            wg = d_gate.variables["params"]["kernel"].astype(dt)
+            bg = d_gate.variables["params"]["bias"].astype(dt)
+            mask = (adj != 0).astype(dt)                    # [N, N]
+            acc = jnp.float32 if self.dtype is not None else in_dtype
+
+            @jax.checkpoint
+            def msg_block(pi_b, pj, mask_b, w2, b2, wg, bg):
+                # pi_b [..., blk, h2]; pj [..., N, h2]; mask_b [blk, N]
+                t = act(pi_b[..., :, None, :] + pj[..., None, :, :])
+                mb = act(t @ w2 + b2)                # [..., blk, N, h]
+                g = nn.sigmoid(mb @ wg + bg)
+                return jnp.einsum("ij,...ijh->...ih", mask_b, g * mb,
+                                  preferred_element_type=acc)
+
+            itemsize = jnp.zeros((), dt).dtype.itemsize
+            blk = max(128, min(n, int(2 ** 28 / max(
+                n * self.output_size * itemsize, 1))))
+            pj_c = p_j.astype(dt)
+            parts = []
+            for i0 in range(0, n, blk):
+                parts.append(msg_block(
+                    p_i[..., i0:i0 + blk, :].astype(dt), pj_c,
+                    mask[i0:i0 + blk], w2, b2, wg, bg))
+            agg = jnp.concatenate(parts, axis=-2) if len(parts) > 1 \
+                else parts[0]
         else:
-            m = act(gather_nodes(p_i, dst) + gather_nodes(p_j, src))
-        m = act(nn.Dense(self.output_size, dtype=self.dtype)(m))
-        gate = nn.sigmoid(nn.Dense(1, dtype=self.dtype)(m))
-        m = gate * m
+            if neigh is not None:
+                src_idx, nmask = neigh
+                d = src_idx.shape[1]
+                pj_n = gather_nodes(p_j, src_idx.reshape(-1))
+                pj_n = pj_n.reshape(pj_n.shape[:-2] + (n, d, -1))
+                m = act(p_i[..., :, None, :] + pj_n)  # [..., N, D, h]
+            else:
+                m = act(gather_nodes(p_i, dst) + gather_nodes(p_j, src))
+            m = act(d_msg(m))
+            gate = nn.sigmoid(d_gate(m))
+            m = gate * m
         # accumulate the neighbor sum in f32 when messages are bf16 —
         # the upcast fuses into the reduction, so the [.., N, D, h]
         # intermediate still lives in HBM at half width
-        acc = jnp.float32 if self.dtype is not None else m.dtype
-        if neigh is not None:
+        acc = jnp.float32 if self.dtype is not None else in_dtype
+        if adj is not None:
+            pass                                  # agg computed above
+        elif neigh is not None:
             agg = jnp.sum((m * nmask[..., None]).astype(acc),
                           axis=-2)  # over D
         else:

@@ -176,6 +176,65 @@ def test_gated_gn_ell_matches_coo(rng):
                                np.asarray(out_ell), atol=1e-5)
 
 
+def test_gated_gn_dense_adj_matches_coo(rng):
+    """The dense all-pairs MXU aggregation (adj=) computes the same
+    function AND gradients as the COO gather/segment-sum path with the
+    SAME params (all layouts share the parameter structure). Weighted
+    edges count as present (messages are unweighted, like the edge
+    path)."""
+    from sgp_tpu.graph.sparse import Graph, coalesce
+
+    n = 12
+    g = coalesce(Graph(rng.integers(0, n, 60).astype(np.int32),
+                       rng.integers(0, n, 60).astype(np.int32),
+                       rng.random(60).astype(np.float32), n))
+    x = jnp.asarray(rng.standard_normal((2, n, 8)).astype(np.float32))
+    layer = GatedGraphNetwork(output_size=8, sorted_edges=True)
+    params = layer.init(jax.random.PRNGKey(0), x,
+                        jnp.asarray(g.src), jnp.asarray(g.dst))
+    adj = jnp.asarray(g.to_dense())          # A[dst, src]
+
+    def loss_coo(p):
+        return layer.apply(p, x, jnp.asarray(g.src),
+                           jnp.asarray(g.dst)).sum()
+
+    def loss_adj(p):
+        return layer.apply(p, x, adj=adj).sum()
+
+    out_coo = layer.apply(params, x, jnp.asarray(g.src),
+                          jnp.asarray(g.dst))
+    out_adj = layer.apply(params, x, adj=adj)
+    np.testing.assert_allclose(np.asarray(out_coo),
+                               np.asarray(out_adj), atol=1e-5)
+    g_coo = jax.grad(loss_coo)(params)
+    g_adj = jax.grad(loss_adj)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_coo),
+                    jax.tree_util.tree_leaves(g_adj)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4)
+
+
+def test_gated_gn_model_dense_adj_matches_edges(rng):
+    """Model-level: GatedGraphNetworkMLPModel(adj=) equals the explicit
+    edge-list forward with identical params."""
+    from sgp_tpu.graph.sparse import Graph, coalesce
+
+    n = 9
+    g = coalesce(Graph(rng.integers(0, n, 40).astype(np.int32),
+                       rng.integers(0, n, 40).astype(np.int32),
+                       None, n))
+    x = jnp.asarray(rng.standard_normal((2, 25, n, 1)).astype(np.float32))
+    m = GatedGraphNetworkMLPModel(input_window_size=25, hidden_size=16,
+                                  output_size=1, horizon=4, n_nodes=n,
+                                  sorted_edges=True)
+    params = m.init({"params": jax.random.PRNGKey(0)}, x,
+                    jnp.asarray(g.src), jnp.asarray(g.dst))
+    out_e = m.apply(params, x, jnp.asarray(g.src), jnp.asarray(g.dst))
+    out_a = m.apply(params, x, adj=jnp.asarray(g.to_dense()))
+    np.testing.assert_allclose(np.asarray(out_e), np.asarray(out_a),
+                               atol=1e-5)
+
+
 def test_gated_gn_model_ell_matches_coo(rng):
     """Model-level: full forward with neigh= equals src/dst ."""
     from sgp_tpu.graph.sparse import Graph, coalesce, padded_incoming

@@ -255,6 +255,25 @@ def test_largescale_baselines_runner_dp():
     assert np.isfinite(res["test_mae"])
 
 
+def test_largescale_baselines_gn_aggregation_dense():
+    """--gn-aggregation dense: subgraph-sampled TRAIN batches keep
+    their edge lists while full-graph EVAL batches run the all-pairs
+    MXU aggregation — both branches of the forward in one run."""
+    from sgp_tpu.exp.run_largescale_baselines import run_experiment
+    from sgp_tpu.exp.run_traffic_baselines import configure_parser
+
+    res = _run(run_experiment, configure_parser,
+               ["--dataset-name", "synthetic", "--synthetic-nodes", "16",
+                "--synthetic-steps", "160", "--epochs", "2",
+                "--batches-epoch", "2", "--hidden-size", "8",
+                "--ff-size", "8", "--batch-size", "8", "--window", "4",
+                "--horizon", "3", "--seed", "0", "--patience", "5",
+                "--model-name", "gatedgn", "--num-subgraph-nodes", "6",
+                "--subgraph-k", "1", "--max-edges", "64",
+                "--gn-aggregation", "dense"])
+    assert np.isfinite(res["test_mae"])
+
+
 def test_imputation_runner():
     """GRIN imputation end to end: synthetic missingness injected, the
     whiten-masked trainer runs, and the learned imputation of the
