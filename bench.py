@@ -21,6 +21,7 @@ All large arrays are generated ON DEVICE (the tunnel moves MB/s).
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import subprocess
@@ -76,12 +77,25 @@ HORIZON, HORIZON_LAG = 22, 7
 # dense) and prefixes the reported keys with ``cer_``.
 DATASET_SCALES = {"pv": (5016, 0.1475), "cer": (6435, 0.0769)}
 _SCALE = "pv"
+# ``@pv_full`` / ``@cer_full`` select the FULL graph (Table 2's "full"
+# rows) instead of the 100-nn graph for sections that honor it
+# (headline: the SGP encoder propagates over the full-density operator)
+_FULL_GRAPH = False
 
 
 def _set_scale(scale: str):
-    global _SCALE, N_NODES, FULL_DENSITY
+    global _SCALE, N_NODES, FULL_DENSITY, _FULL_GRAPH, T_STEPS
+    if scale.endswith("_full"):
+        _FULL_GRAPH = True
+        scale = scale[:-len("_full")]
     _SCALE = scale
     N_NODES, FULL_DENSITY = DATASET_SCALES[scale]
+    if scale == "cer":
+        # keep the packed-encoding footprint at PV's level: the fused
+        # multi-step train program OOMs at [1024, 6435, 524] (measured
+        # 20.9 G vs 15.75 G HBM); train batch/s — the Table-2 number —
+        # is T-insensitive (per-step work = one batch-4096 row gather)
+        T_STEPS = 768
 
 
 def _sync(arr):
@@ -122,12 +136,13 @@ def _full_sim():
     return pos, sim, thr
 
 
-def _full_dense_supports():
+def _full_dense_supports(fwd_only: bool = False):
     """Forward + backward row-normalized dense supports of the FULL
     graph (3.7M edges at 14.75% density), built ON DEVICE from the node
     positions — the only upload is [N, 2] (a host-densified operator or
     a 3.7M-edge list would take minutes through the ~MB/s tunnel).
-    Returns ``(ops, n_edges)``."""
+    Returns ``(ops, n_edges)``; ``fwd_only`` builds just the forward
+    support (the SGP encoder's directed default)."""
     import jax
     import jax.numpy as jnp
 
@@ -136,8 +151,8 @@ def _full_dense_supports():
     pos, sim_h, thr = _full_sim()
     n_edges = int((sim_h > thr).sum())
 
-    @jax.jit
-    def build(p):
+    @functools.partial(jax.jit, static_argnames="both")
+    def build(p, both: bool):
         d2 = ((p[:, None] - p[None]) ** 2).sum(-1)
         sim = jnp.exp(-d2 / 0.01) * (1.0 - jnp.eye(N_NODES))
         adj = jnp.where(sim > thr, sim, 0.0)
@@ -146,11 +161,10 @@ def _full_dense_supports():
             deg = a.sum(1, keepdims=True)
             return jnp.where(deg > 0, a / jnp.maximum(deg, 1e-38), 0.0)
 
-        return row_norm(adj), row_norm(adj.T)
+        return (row_norm(adj),) + ((row_norm(adj.T),) if both else ())
 
-    fwd, bwd = build(jnp.asarray(pos))
-    return ([DenseOperator(fwd, "default"),
-             DenseOperator(bwd, "default")], n_edges)
+    mats = build(jnp.asarray(pos), both=not fwd_only)
+    return ([DenseOperator(m, "default") for m in mats], n_edges)
 
 
 def _full_adj_mask():
@@ -224,9 +238,25 @@ def section_headline() -> dict:
                                    make_fused_iid_step, pack_iid_data)
 
     out = {}
-    g = _build_graph()
-    n_edges = g.num_edges
-    out["n_edges_100nn"] = int(n_edges)
+    if _FULL_GRAPH:
+        # Table 2's "full" SGP rows: the K-hop propagation runs over
+        # the full-density operator (device-built from positions; the
+        # encoder's directed/no-self-loop defaults need only the fwd
+        # support). The dense-MXU operator is density-insensitive, so
+        # the full graph costs the same wall as 100-nn — where the
+        # reference's full rows pay CSR traffic per extra edge.
+        from sgp_tpu.graph import Graph
+        sup, n_edges = _full_dense_supports(fwd_only=True)
+        full_ops = tuple(sup)
+        out["n_edges_full"] = int(n_edges)
+        # num_nodes carrier for the prebuilt-ops validation only
+        g = Graph(np.zeros(0, np.int64), np.zeros(0, np.int64), None,
+                  N_NODES)
+    else:
+        full_ops = None
+        g = _build_graph()
+        n_edges = g.num_edges
+        out["n_edges_100nn"] = int(n_edges)
 
     # --- encoder precompute (reservoir 16x8 + k=2 + global, sgp_pv.yaml)
     # The encode emits the PACKED IID layout directly (feature lanes +
@@ -247,7 +277,8 @@ def section_headline() -> dict:
         jnp.zeros(t.shape[:2] + (0,), jnp.bfloat16), t, m, h_off))(
             target, mask)                       # [T, N, 3H] bf16, 123MB
 
-    enc_ops = build_streaming_ops(enc, g, precision="default")
+    enc_ops = full_ops if _FULL_GRAPH else build_streaming_ops(
+        enc, g, precision="default")
 
     def encode():
         return streaming_encode(enc, x_series, g, time_chunk=64,
@@ -263,9 +294,11 @@ def section_headline() -> dict:
     t0 = time.time()
     packed = encode()
     _sync(packed)
-    out["encode_wall_s_T1024_N5016_D512"] = round(time.time() - t0, 2)
+    out[f"encode_wall_s_T{T_STEPS}_N{N_NODES}_D512"] = round(
+        time.time() - t0, 2)
 
-    op = build_operator(g, "dense", precision="default")
+    op = full_ops[0] if _FULL_GRAPH else build_operator(
+        g, "dense", precision="default")
 
     # --- SpMM throughput (128-channel pass over the 100-nn graph),
     # kernel-only (scanned inside one program) + speed-of-light pct
@@ -284,6 +317,9 @@ def section_headline() -> dict:
     # efficiency at 8 chips (ICI) / 32 chips (DCN) — host math only
     try:
         from sgp_tpu.obs.scaling import project_scaling
+        if _FULL_GRAPH:
+            raise RuntimeError(
+                "skipped: halo ledger needs the host edge list")
         proj = project_scaling(g, 128, n_edges / t_spmm,
                                n_chips_list=(8, 32))
         for s, row in proj.items():
@@ -330,11 +366,12 @@ def section_headline() -> dict:
     batch_s = calls * steps_per_call / (time.time() - t0)
     out["train_batch_s"] = round(batch_s, 2)
     out["final_loss"] = float(loss)
-    if _SCALE != "pv":
-        # scaled variant (the SGP Table-2 row at CER-En shape): the
+    if _SCALE != "pv" or _FULL_GRAPH:
+        # scaled/full variants (the other three SGP Table-2 rows): the
         # encode + fused-IID numbers above are the row; skip the
-        # PV-only studies (multi-trial, MFU, scaling projection)
-        sgp_ref = {"cer": 117.32}[_SCALE]
+        # PV-100nn-only studies (multi-trial, MFU, scaling projection)
+        sgp_ref = {("cer", False): 117.32, ("pv", True): 118.64,
+                   ("cer", True): 115.85}[(_SCALE, _FULL_GRAPH)]
         out["sgp_vs_a5000"] = round(batch_s / sgp_ref, 2)
         return out
 
@@ -871,18 +908,25 @@ def section_baseline(name: str) -> dict:
             return ops
         return diff_conv_support(_build_graph(), precision="default")
 
+    # Graph state (dense supports / adjacency mask / ELL indices) rides
+    # in the batch dict so it traces as a jitted-step ARGUMENT. Closure
+    # capture would embed the [N, N] arrays as HLO constants — at
+    # CER-En scale two f32 supports are 331 MB of literal bytes and the
+    # tunnel's remote_compile rejects the request (measured HTTP 413);
+    # as arguments the program ships only shapes.
+    graph_state = {}
     if base == "dcrnn":
-        supports = dense_supports()
+        graph_state["supports"] = dense_supports()
         model = DCRNNModel(hidden_size=64, ff_size=128, output_size=1,
                            horizon=h_steps, n_layers=1,
                            exog_size=exog_size, kernel_size=2,
                            dropout=0.0)
 
         def to_call(b, training):
-            return (b["x"], supports), {"u": b.get("u"),
-                                        "training": training}
+            return (b["x"], b["supports"]), {"u": b.get("u"),
+                                             "training": training}
     elif base == "gwnet":
-        supports = dense_supports()
+        graph_state["supports"] = dense_supports()
         model = GraphWaveNetModel(
             hidden_size=32, ff_size=256, output_size=1,
             horizon=h_steps, n_layers=8, exog_size=exog_size,
@@ -892,9 +936,9 @@ def section_baseline(name: str) -> dict:
             remat_scan=False)   # step fits HBM; skip the ~+1/3 FLOPs
 
         def to_call(b, training):
-            return (b["x"], supports), {"u": b.get("u"),
-                                        "node_index": None,
-                                        "training": training}
+            return (b["x"], b["supports"]), {"u": b.get("u"),
+                                             "node_index": None,
+                                             "training": training}
     elif base in ("gatedgn", "gatedgn_bf16"):
         if full:
             # dense all-pairs MXU messages: density-insensitive and
@@ -903,11 +947,12 @@ def section_baseline(name: str) -> dict:
             adj_mask, kept = _full_adj_mask()
             out[f"{name}_n_edges"] = kept
             out[f"{name}_aggregation"] = "dense_allpairs_mxu"
-            gn_kwargs = {"adj": adj_mask}
+            graph_state["gn_adj"] = adj_mask
         else:
             from sgp_tpu.graph.sparse import padded_incoming
             si, nm = padded_incoming(_build_graph())  # exact 100-nn
-            gn_kwargs = {"neigh": (jnp.asarray(si), jnp.asarray(nm))}
+            graph_state["gn_neigh"] = (jnp.asarray(si),
+                                       jnp.asarray(nm))
         model = GatedGraphNetworkMLPModel(
             input_window_size=window, hidden_size=64, output_size=1,
             horizon=h_steps, n_nodes=N_NODES, enc_layers=2,
@@ -917,13 +962,16 @@ def section_baseline(name: str) -> dict:
             compute_dtype=(None if name == "gatedgn" else "bfloat16"))
 
         def to_call(b, training):
+            gn = ({"adj": b["gn_adj"]} if "gn_adj" in b
+                  else {"neigh": b["gn_neigh"]})
             return (b["x"],), {"u": b.get("u"), "node_index": None,
                                "edge_mask": None, "training": training,
-                               **gn_kwargs}
+                               **gn}
     else:
         raise ValueError(name)
 
     bdata = {
+        **graph_state,
         "x": jax.jit(lambda k: jax.random.normal(
             k, (batch, window, N_NODES, 1)))(jax.random.PRNGKey(20)),
         "u": jax.jit(lambda k: jax.random.normal(
@@ -1371,6 +1419,11 @@ def main():
         ("baseline3:dcrnn,gwnet,gatedgn_bf16@cer", 900, 250),
         ("baseline3:dcrnn_full,gwnet_full,gatedgn_full@cer", 900, 250),
         ("headline@cer", 600, 200),       # the SGP CER-En Table-2 row
+        # the SGP "full"-graph Table-2 rows: same programs over the
+        # full-density operator (warm cache: the train program is
+        # IDENTICAL to the 100-nn row's, only the encode differs)
+        ("headline@pv_full", 420, 170),
+        ("headline@cer_full", 420, 170),
         ("bsr", 480, 150),
         ("serve", 360, 130),
         (f"truescale:{T_TRUE}", 540, 240),

@@ -25,6 +25,11 @@ from sgp_tpu.graph.sparse import Graph, normalize_adj, transpose
 from sgp_tpu.models.blocks import get_activation
 from sgp_tpu.ops.spmm import Operator, build_operator
 
+# Dense all-pairs GatedGN aggregation backend: None = auto (the fused
+# Pallas kernel on TPU, the blocked-XLA path elsewhere); True/False
+# force it on (interpret mode off-TPU — CPU parity tests) / off.
+ALLPAIRS_PALLAS = None
+
 
 def diff_conv_support(g: Graph, add_backward: bool = True,
                       operator_mode: str = "auto",
@@ -303,29 +308,51 @@ class GatedGraphNetwork(nn.Module):
             b2 = d_msg.variables["params"]["bias"].astype(dt)
             wg = d_gate.variables["params"]["kernel"].astype(dt)
             bg = d_gate.variables["params"]["bias"].astype(dt)
-            mask = (adj != 0).astype(dt)                    # [N, N]
             acc = jnp.float32 if self.dtype is not None else in_dtype
+            from sgp_tpu.ops.gn_allpairs import (ACTIVATIONS as _AP,
+                                                 gn_allpairs_aggregate)
+            on_tpu = jax.default_backend() == "tpu"
+            use_pallas = (self.activation in _AP and h2 % 8 == 0
+                          and self.output_size % 8 == 0
+                          and (on_tpu if ALLPAIRS_PALLAS is None
+                               else ALLPAIRS_PALLAS))
+            if use_pallas:
+                # fused Pallas kernel: the whole per-pair chain stays
+                # in VMEM — the XLA block path below round-trips the
+                # [blk, N, h] message tensors through HBM (measured
+                # bandwidth-bound at ~7% MFU on the CER-En full row)
+                pi3 = p_i.astype(dt)
+                lead = pi3.shape[:-2]
+                pi3 = pi3.reshape((-1,) + pi3.shape[-2:])
+                pj3 = p_j.astype(dt).reshape(pi3.shape)
+                agg = gn_allpairs_aggregate(
+                    pi3, pj3, adj, w2, b2, wg, bg, self.activation,
+                    not on_tpu)   # interpret off-TPU (CPU tests)
+                agg = agg.reshape(lead + agg.shape[-2:]).astype(acc)
+            else:
+                mask = (adj != 0).astype(dt)                # [N, N]
 
-            @jax.checkpoint
-            def msg_block(pi_b, pj, mask_b, w2, b2, wg, bg):
-                # pi_b [..., blk, h2]; pj [..., N, h2]; mask_b [blk, N]
-                t = act(pi_b[..., :, None, :] + pj[..., None, :, :])
-                mb = act(t @ w2 + b2)                # [..., blk, N, h]
-                g = nn.sigmoid(mb @ wg + bg)
-                return jnp.einsum("ij,...ijh->...ih", mask_b, g * mb,
-                                  preferred_element_type=acc)
+                @jax.checkpoint
+                def msg_block(pi_b, pj, mask_b, w2, b2, wg, bg):
+                    # pi_b [.., blk, h2]; pj [.., N, h2]; mask_b [blk, N]
+                    t = act(pi_b[..., :, None, :] + pj[..., None, :, :])
+                    mb = act(t @ w2 + b2)            # [..., blk, N, h]
+                    g = nn.sigmoid(mb @ wg + bg)
+                    return jnp.einsum("ij,...ijh->...ih", mask_b,
+                                      g * mb,
+                                      preferred_element_type=acc)
 
-            itemsize = jnp.zeros((), dt).dtype.itemsize
-            blk = max(128, min(n, int(2 ** 28 / max(
-                n * self.output_size * itemsize, 1))))
-            pj_c = p_j.astype(dt)
-            parts = []
-            for i0 in range(0, n, blk):
-                parts.append(msg_block(
-                    p_i[..., i0:i0 + blk, :].astype(dt), pj_c,
-                    mask[i0:i0 + blk], w2, b2, wg, bg))
-            agg = jnp.concatenate(parts, axis=-2) if len(parts) > 1 \
-                else parts[0]
+                itemsize = jnp.zeros((), dt).dtype.itemsize
+                blk = max(128, min(n, int(2 ** 28 / max(
+                    n * self.output_size * itemsize, 1))))
+                pj_c = p_j.astype(dt)
+                parts = []
+                for i0 in range(0, n, blk):
+                    parts.append(msg_block(
+                        p_i[..., i0:i0 + blk, :].astype(dt), pj_c,
+                        mask[i0:i0 + blk], w2, b2, wg, bg))
+                agg = jnp.concatenate(parts, axis=-2) \
+                    if len(parts) > 1 else parts[0]
         else:
             if neigh is not None:
                 src_idx, nmask = neigh

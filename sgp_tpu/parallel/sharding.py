@@ -183,7 +183,10 @@ def make_sharded_iid_step(model, optimizer, encoded, target, mask,
         n_loc = jax.random.randint(rng_n, (local_bs,), 0, n_local)
         n_glob = shard_id * n_local + n_loc
         if packed:
-            rows = pk.reshape(-1, pk.shape[-1])[t * n_local + n_loc]
+            # 2-component gather: the flat reshape is a free bitcast
+            # only when the local node count is a sublane multiple —
+            # see train/iid.py (CER-En relayout-copy OOM)
+            rows = pk[t, n_loc]
             x, y, m = unpack_iid_rows(rows, feat, n_h, n_c)
         else:
             x = enc[t, n_loc]

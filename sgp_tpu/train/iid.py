@@ -236,7 +236,14 @@ def _build_iid_sample_and_loss(model, encoded, target, mask,
             t = jax.random.choice(rng_t, valid, (batch_size,))
             n = jax.random.randint(rng_n, (batch_size,), 0, n_nodes)
         if packed and gather_block == 1:
-            rows = pk.reshape(-1, pk.shape[-1])[t * n_nodes + n]
+            # 2-component gather, NOT flat-reshape + 1D gather: the
+            # [T, N, W] -> [T*N, W] reshape is only a free bitcast when
+            # N is a sublane multiple (8); at CER-En's N=6435 XLA
+            # materializes a full relayout COPY of the multi-GB packed
+            # array inside the train program (measured: +5.9 G temp ->
+            # 20.5 G HBM, compile-time OOM). Same one-gather-per-sample
+            # row fetch either way.
+            rows = pk[t, n]
             x, y, m = unpack_iid_rows(rows, feat, n_h, n_c)
         elif not packed:
             x = enc[t, n]                       # [B, D]

@@ -205,10 +205,12 @@ class Predictor:
         b = np.shape(batch["x"])[0]
 
         def put(k, v):
-            if isinstance(v, ScalerParams):
+            if not isinstance(v, (np.ndarray, jax.Array)):
+                # non-array batch state (ScalerParams, operator pytrees,
+                # index tuples): replicate leaf-wise
                 return jax.tree.map(
                     lambda p: jax.device_put(
-                        p, NamedSharding(self.mesh, P())), v)
+                        jnp.asarray(p), NamedSharding(self.mesh, P())), v)
             arr = jnp.asarray(v)
             spec = P("data", *([None] * (arr.ndim - 1))) \
                 if (k in self._SAMPLE_DIM_KEYS and b % n == 0
@@ -355,8 +357,13 @@ class Predictor:
 
 
 def _to_device(batch):
-    """numpy batch dict -> device arrays (scaler params pass through)."""
+    """numpy batch dict -> device arrays (scaler params pass through).
+    Values may be pytrees (e.g. a list of operators riding in the batch
+    so their [N, N] arrays trace as step ARGUMENTS instead of becoming
+    HLO constants — at CER-En scale embedded dense supports exceed the
+    tunnel compile service's request size limit, measured HTTP 413)."""
     out = {}
     for k, v in batch.items():
-        out[k] = v if isinstance(v, ScalerParams) else jnp.asarray(v)
+        out[k] = v if isinstance(v, ScalerParams) else jax.tree.map(
+            jnp.asarray, v)
     return out
