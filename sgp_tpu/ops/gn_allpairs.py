@@ -69,16 +69,34 @@ def _delu(x):
     return jnp.where(x > 0, jnp.ones_like(x), jnp.exp(x))
 
 
+def _f32_compute(fn, keep_dtype: bool):
+    """Transcendentals run in f32 inside the kernel: Mosaic's bf16
+    ``logistic`` lowering emits an invalid f32->bf16 vector.broadcast
+    (verification error, observed on v5e); derivatives stay f32 (they
+    multiply f32 cotangents)."""
+    def wrapped(x):
+        y = fn(x.astype(jnp.float32))
+        return y.astype(x.dtype) if keep_dtype else y
+    return wrapped
+
+
 ACTIVATIONS = {
-    "silu": (_silu, _dsilu),
-    "swish": (_silu, _dsilu),
-    "tanh": (jnp.tanh, _dtanh),
-    "relu": (jax.nn.relu, _drelu),
-    "elu": (jax.nn.elu, _delu),
+    name: (_f32_compute(f, True), _f32_compute(df, False))
+    for name, (f, df) in {
+        "silu": (_silu, _dsilu),
+        "swish": (_silu, _dsilu),
+        "tanh": (jnp.tanh, _dtanh),
+        "relu": (jax.nn.relu, _drelu),
+        "elu": (jax.nn.elu, _delu),
+    }.items()
 }
 
 # fwd dst-rows per grid step / bwd rows per step (cols are always 128
-# lanes). Bwd holds ~8 live [ch, BR, 128] tiles -> smaller rows.
+# lanes). The fwd row block is the LANE dim of the transposed node
+# blocks (must be 128-divisible); the bwd kernel reads the node arrays
+# as FULL blocks (tiny: [1, ch, Npad]) and slices 64 rows per step
+# with pl.ds — 128-row tiles put ~22 MB of f32 intermediates in VMEM
+# (measured over the 16 MB scoped limit).
 _FWD_BI = 128
 _BWD_BR = 64
 _BLK_J = 128
@@ -94,90 +112,103 @@ def _pad_to(x, mult: int, axis: int):
     return jnp.pad(x, widths)
 
 
-def _fwd_kernel(act, piT_ref, pjT_ref, mask_ref, w2_ref, b2_ref,
-                wg_ref, bg_ref, out_ref):
+def _fwd_kernel(act, bi_blk: int, bj_blk: int, piT_ref, pjT_ref,
+                mask_ref, w2_ref, b2_ref, wg_ref, bg_ref, outT_ref):
+    # Mosaic supports plain 2D matmuls only — all dots run on
+    # [ch, pairs]-shaped 2D views; the masked neighbor sum is an
+    # elementwise multiply + lane reduction (VPU-cheap at these sizes).
     j = pl.program_id(2)
-    pi = piT_ref[0]                                   # [h2, BI]
-    pj = pjT_ref[0]                                   # [h2, BJ]
+    h2 = piT_ref.shape[1]
+    h = w2_ref.shape[1]
+    cdt = piT_ref.dtype
+    # minor-dim broadcasts must be 32-bit on Mosaic: build s in f32,
+    # drop back to the compute dtype for the MXU contraction
+    pi = piT_ref[0].astype(jnp.float32)               # [h2, BI]
+    pj = pjT_ref[0].astype(jnp.float32)               # [h2, BJ]
     t = act(pi[:, :, None] + pj[:, None, :])          # [h2, BI, BJ]
-    # mt[h, BI, BJ] = w2^T contracted with t over h2
-    mt = lax.dot_general(w2_ref[:], t, (((0,), (0,)), ((), ())),
+    t2 = t.reshape(h2, bi_blk * bj_blk).astype(cdt)   # [h2, P]
+    mt = lax.dot_general(w2_ref[:], t2, (((0,), (0,)), ((), ())),
                          preferred_element_type=jnp.float32)
-    mb = act(mt + b2_ref[0][:, None, None])           # [h, BI, BJ] f32
+    mb = act(mt + b2_ref[:].reshape(h, 1))            # [h, P] f32
     gz = lax.dot_general(wg_ref[:], mb, (((1,), (0,)), ((), ())),
                          preferred_element_type=jnp.float32)
-    g = jax.nn.sigmoid(gz + bg_ref[0, 0])             # [1, BI, BJ]
-    gmb = (g * mb).astype(pi.dtype)
-    # agg[BI, h] = sum_j mask[i, j] * gmb[h, i, j]
-    agg = lax.dot_general(gmb, mask_ref[:].astype(gmb.dtype),
-                          (((2,), (1,)), ((1,), (0,))),
-                          preferred_element_type=jnp.float32)
+    g = jax.nn.sigmoid(gz + bg_ref[0, 0])             # [1, P]
+    gmb = (g * mb).reshape(h, bi_blk, bj_blk)
+    masked = gmb * mask_ref[:].astype(jnp.float32)[None]
+    agg = jnp.sum(masked, axis=2)                     # [h, BI]
 
     @pl.when(j == 0)
     def _():
-        out_ref[0] = jnp.zeros_like(out_ref[0])
+        outT_ref[0] = jnp.zeros_like(outT_ref[0])
 
-    out_ref[0] += agg
+    outT_ref[0] += agg
 
 
-def _bwd_kernel(act, dact, row_is_dst: bool, aT_ref, bT_ref, mask_ref,
-                w2_ref, b2_ref, wg_ref, bg_ref, ghatT_ref, drow_ref,
-                *wgrad_refs):
+def _bwd_kernel(act, dact, br_blk: int, bc_blk: int, aN_ref, bN_ref,
+                mask_ref, w2_ref, b2_ref, wg_ref, bg_ref, ghatN_ref,
+                dpi_ref, dpj_ref, dw2_ref, db2_ref, dwg_ref, dbg_ref):
     bi, r, c = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    a = aT_ref[0]                                     # [h2, BR]
-    b = bT_ref[0]                                     # [h2, BC]
+    h2 = aN_ref.shape[-1]
+    h = w2_ref.shape[1]
+    cdt = aN_ref.dtype
+    p = br_blk * bc_blk
+    # ONE pass over all (dst-block, src-block) pairs: ds_ij feeds BOTH
+    # node grads (row sum -> d_pi, col sum -> d_pj). The [B, Npad, h2]
+    # f32 node-grad arrays are small enough (<1 MB at Table-2 scale)
+    # to live as whole constant-index VMEM blocks, so the col-indexed
+    # accumulation needs no second recompute pass. Node blocks arrive
+    # in NATURAL [1, rows, ch] layout (a [1, ch, R] layout would make
+    # the row block the LANE dim, where Mosaic demands
+    # 128-divisibility); channels-on-sublanes comes from tiny per-tile
+    # transposes.
+    a = jnp.transpose(aN_ref[0]).astype(jnp.float32)  # [h2, BR]
+    b = jnp.transpose(bN_ref[0]).astype(jnp.float32)  # [h2, BC]
     s = a[:, :, None] + b[:, None, :]                 # [h2, BR, BC]
-    t = act(s)
-    mt = lax.dot_general(w2_ref[:], t, (((0,), (0,)), ((), ())),
+    s2 = s.reshape(h2, p)                             # f32
+    t2 = act(s2).astype(cdt)                          # [h2, P]
+    mt = lax.dot_general(w2_ref[:], t2, (((0,), (0,)), ((), ())),
                          preferred_element_type=jnp.float32)
-    mt = mt + b2_ref[0][:, None, None]                # [h, BR, BC]
+    mt = mt + b2_ref[:].reshape(h, 1)                 # [h, P] f32
     mb = act(mt)
     gz = lax.dot_general(wg_ref[:], mb, (((1,), (0,)), ((), ())),
                          preferred_element_type=jnp.float32)
-    g = jax.nn.sigmoid(gz + bg_ref[0, 0])             # [1, BR, BC]
-    ghat = ghatT_ref[0].astype(jnp.float32)           # [h, BR or BC]
-    if row_is_dst:  # rows are dst: ghat indexed by row
-        e = mask_ref[:].astype(jnp.float32)[None] * ghat[:, :, None]
-    else:           # rows are src: ghat indexed by col (mask pre-T)
-        e = mask_ref[:].astype(jnp.float32)[None] * ghat[:, None, :]
+    g = jax.nn.sigmoid(gz + bg_ref[0, 0])             # [1, P]
+    maskf = mask_ref[:].astype(jnp.float32)[None]     # [1, BR, BC]
+    ghat = jnp.transpose(ghatN_ref[0]).astype(jnp.float32)  # [h, BR]
+    e = (maskf * ghat[:, :, None]).reshape(h, p)      # dst-row cotan
     dgz = jnp.sum(e * mb, axis=0, keepdims=True) * g * (1.0 - g)
-    dmb = e * g + dgz * wg_ref[0][:, None, None]      # [h, BR, BC]
+    dmb = e * g + wg_ref[:].astype(jnp.float32).reshape(h, 1) * dgz
     dmt = dmb * dact(mt)
-    # dt[h2, BR, BC] = w2 contracted with dmt over h
+    # dt[h2, P] = w2 contracted with dmt over h
     dt = lax.dot_general(w2_ref[:], dmt, (((1,), (0,)), ((), ())),
                          preferred_element_type=jnp.float32)
-    ds = dt * dact(s).astype(jnp.float32)
-    drow = jnp.sum(ds, axis=2).astype(jnp.float32)    # [h2, BR]
+    ds3 = (dt * dact(s2)).reshape(h2, br_blk, bc_blk)
 
-    @pl.when(c == 0)
+    first = (r == 0) & (c == 0)
+
+    @pl.when(first)
     def _():
-        drow_ref[0] = jnp.zeros_like(drow_ref[0])
+        dpi_ref[0] = jnp.zeros_like(dpi_ref[0])
+        dpj_ref[0] = jnp.zeros_like(dpj_ref[0])
 
-    drow_ref[0] += drow
+    @pl.when(first & (bi == 0))
+    def _():
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+        dwg_ref[:] = jnp.zeros_like(dwg_ref)
+        dbg_ref[:] = jnp.zeros_like(dbg_ref)
 
-    if row_is_dst:
-        dw2_ref, db2_ref, dwg_ref, dbg_ref = wgrad_refs
-        # dw2[h2, h] = t contracted with dmt over the (BR, BC) pairs
-        dw2 = lax.dot_general(t.astype(jnp.float32), dmt,
-                              (((1, 2), (1, 2)), ((), ())),
-                              preferred_element_type=jnp.float32)
-        db2 = jnp.sum(dmt, axis=(1, 2))[None]         # [1, h]
-        dwg = jnp.sum(mb * dgz, axis=(1, 2))[None]    # [1, h]
-        dbg = jnp.sum(dgz)[None, None]                # [1, 1]
-
-        first = (bi == 0) & (r == 0) & (c == 0)
-
-        @pl.when(first)
-        def _():
-            dw2_ref[:] = jnp.zeros_like(dw2_ref)
-            db2_ref[:] = jnp.zeros_like(db2_ref)
-            dwg_ref[:] = jnp.zeros_like(dwg_ref)
-            dbg_ref[:] = jnp.zeros_like(dbg_ref)
-
-        dw2_ref[:] += dw2
-        db2_ref[:] += db2
-        dwg_ref[:] += dwg
-        dbg_ref[:] += dbg
+    drow = jnp.transpose(jnp.sum(ds3, axis=2))        # [BR, h2]
+    dcol = jnp.transpose(jnp.sum(ds3, axis=1))        # [BC, h2]
+    dpi_ref[0, pl.ds(r * br_blk, br_blk), :] += drow
+    dpj_ref[0, pl.ds(c * bc_blk, bc_blk), :] += dcol
+    # dw2[h2, h] = t contracted with dmt over the P pairs
+    dw2_ref[:] += lax.dot_general(t2, dmt.astype(t2.dtype),
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    db2_ref[:] += jnp.sum(dmt, axis=1, keepdims=True)   # [h, 1]
+    dwg_ref[:] += jnp.sum(mb * dgz, axis=1, keepdims=True)
+    dbg_ref[:] += jnp.sum(dgz)[None, None]              # [1, 1]
 
 
 def _node_specs(h2: int, br: int, bc: int):
@@ -209,11 +240,11 @@ def _fwd_call(piT, pjT, mask, w2, b2, wgr, bgr, act_name: str,
     h = w2.shape[1]
     grid = (bsz, npad // _FWD_BI, npad // _BLK_J)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, act),
-        out_shape=jax.ShapeDtypeStruct((bsz, npad, h), jnp.float32),
+        functools.partial(_fwd_kernel, act, _FWD_BI, _BLK_J),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, npad), jnp.float32),
         grid=grid,
         in_specs=_node_specs(h2, _FWD_BI, _BLK_J) + _weight_specs(h2, h),
-        out_specs=pl.BlockSpec((1, _FWD_BI, h), lambda b, r, c: (b, r, 0),
+        out_specs=pl.BlockSpec((1, h, _FWD_BI), lambda b, r, c: (b, 0, r),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -225,44 +256,50 @@ def _fwd_call(piT, pjT, mask, w2, b2, wgr, bgr, act_name: str,
     return out
 
 
-def _bwd_call(aT, bT, mask, w2, b2, wgr, bgr, ghatT, row_is_dst: bool,
-              act_name: str, interpret: bool):
+def _bwd_call(aN, bN, mask, w2, b2, wgr, bgr, ghatN, act_name: str,
+              interpret: bool):
     act, dact = ACTIVATIONS[act_name]
-    bsz, h2, npad = aT.shape
+    bsz, npad, h2 = aN.shape
     h = w2.shape[1]
     br, bc = _BWD_BR, _BLK_J
     grid = (bsz, npad // br, npad // bc)
-    ghat_spec = pl.BlockSpec(
-        (1, h, br if row_is_dst else bc),
-        (lambda b, r, c: (b, 0, r)) if row_is_dst
-        else (lambda b, r, c: (b, 0, c)),
-        memory_space=pltpu.VMEM)
-    out_shapes = [jax.ShapeDtypeStruct((bsz, h2, npad), jnp.float32)]
-    out_specs = [pl.BlockSpec((1, h2, br), lambda b, r, c: (b, 0, r),
-                              memory_space=pltpu.VMEM)]
-    if row_is_dst:
-        full = lambda b, r, c: (0, 0)
-        out_shapes += [jax.ShapeDtypeStruct((h2, h), jnp.float32),
-                       jax.ShapeDtypeStruct((1, h), jnp.float32),
-                       jax.ShapeDtypeStruct((1, h), jnp.float32),
-                       jax.ShapeDtypeStruct((1, 1), jnp.float32)]
-        out_specs += [pl.BlockSpec(sh, full, memory_space=pltpu.VMEM)
-                      for sh in ((h2, h), (1, h), (1, h), (1, 1))]
-    outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, act, dact, row_is_dst),
-        out_shape=tuple(out_shapes),
+    by_r = lambda b, r, c: (b, r, 0)
+    by_c = lambda b, r, c: (b, c, 0)
+    per_b = lambda b, r, c: (b, 0, 0)
+    full = lambda b, r, c: (0, 0)
+    node_specs = [
+        pl.BlockSpec((1, br, h2), by_r, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bc, h2), by_c, memory_space=pltpu.VMEM),
+        pl.BlockSpec((br, bc), lambda b, r, c: (r, c),
+                     memory_space=pltpu.VMEM),
+    ]
+    ghat_spec = pl.BlockSpec((1, br, h), by_r, memory_space=pltpu.VMEM)
+    out_shapes = (jax.ShapeDtypeStruct((bsz, npad, h2), jnp.float32),
+                  jax.ShapeDtypeStruct((bsz, npad, h2), jnp.float32),
+                  jax.ShapeDtypeStruct((h2, h), jnp.float32),
+                  jax.ShapeDtypeStruct((h, 1), jnp.float32),
+                  jax.ShapeDtypeStruct((h, 1), jnp.float32),
+                  jax.ShapeDtypeStruct((1, 1), jnp.float32))
+    out_specs = (
+        pl.BlockSpec((1, npad, h2), per_b, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, npad, h2), per_b, memory_space=pltpu.VMEM),
+        pl.BlockSpec((h2, h), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, 1), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, 1), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), full, memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, act, dact, br, bc),
+        out_shape=out_shapes,
         grid=grid,
-        in_specs=_node_specs(h2, br, bc) + _weight_specs(h2, h)
-        + [ghat_spec],
-        out_specs=tuple(out_specs),
+        in_specs=node_specs + _weight_specs(h2, h) + [ghat_spec],
+        out_specs=out_specs,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=12 * bsz * npad * npad * h2 * h,
-            bytes_accessed=2 * mask.size * mask.dtype.itemsize
-            + 2 * aT.size * aT.dtype.itemsize + 4 * bsz * npad * h,
+            bytes_accessed=mask.size * mask.dtype.itemsize
+            + 2 * aN.size * aN.dtype.itemsize + 4 * bsz * npad * h,
             transcendentals=3 * bsz * npad * npad * (h2 + h + 1)),
-    )(aT, bT, mask, w2, b2, wgr, bgr, ghatT)
-    return outs
+    )(aN, bN, mask, w2, b2, wgr, bgr, ghatN)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
@@ -293,46 +330,45 @@ def gn_allpairs_aggregate(p_i, p_j, mask, w2, b2, wg, bg,
 def _prep(p_i, p_j, mask):
     n = p_i.shape[-2]
     mult = int(np.lcm(np.lcm(_FWD_BI, _BLK_J), _BWD_BR))
-    piT = _pad_to(jnp.swapaxes(p_i, -1, -2), mult, 2)
-    pjT = _pad_to(jnp.swapaxes(p_j, -1, -2), mult, 2)
+    pi_p = _pad_to(p_i, mult, 1)                      # [B, Npad, h2]
+    pj_p = _pad_to(p_j, mult, 1)
     maskp = _pad_to(_pad_to(mask, mult, 0), mult, 1)
-    return piT, pjT, maskp, n
+    return pi_p, pj_p, maskp, n
 
 
 def _gn_fwd(p_i, p_j, mask, w2, b2, wg, bg, activation, interpret):
-    piT, pjT, maskp, n = _prep(p_i, p_j, mask)
-    cd = piT.dtype
+    pi_p, pj_p, maskp, n = _prep(p_i, p_j, mask)
+    cd = pi_p.dtype
     maskb = (maskp != 0).astype(cd)
     w2c = w2.astype(cd)
     b2r = b2.astype(jnp.float32).reshape(1, -1)
     wgr = wg.astype(cd).reshape(1, -1)
     bgr = bg.astype(jnp.float32).reshape(1, 1)
-    out = _fwd_call(piT, pjT, maskb, w2c, b2r, wgr, bgr, activation,
-                    interpret)[:, :n]
+    piT = jnp.swapaxes(pi_p, -1, -2)
+    pjT = jnp.swapaxes(pj_p, -1, -2)
+    out = jnp.swapaxes(
+        _fwd_call(piT, pjT, maskb, w2c, b2r, wgr, bgr, activation,
+                  interpret)[:, :, :n], -1, -2)
     # zero-size protos carry the primal dtypes (bwd outputs must match
     # the primal avals; dtype objects aren't valid pytree leaves)
     protos = tuple(jnp.zeros((0,), a.dtype)
                    for a in (mask, w2, b2, wg, bg))
-    return out, (piT, pjT, maskb, w2c, b2r, wgr, bgr, protos, n)
+    return out, (pi_p, pj_p, maskb, w2c, b2r, wgr, bgr, protos, n)
 
 
 def _gn_bwd(activation, interpret, res, ghat):
-    piT, pjT, maskb, w2c, b2r, wgr, bgr, protos, n = res
-    npad = piT.shape[-1]
-    ghatT = jnp.swapaxes(ghat, -1, -2)
-    if npad != n:
-        ghatT = jnp.pad(ghatT, ((0, 0), (0, 0), (0, npad - n)))
-    ghatT = ghatT.astype(piT.dtype)
-    dpiT, dw2, db2, dwg, dbg = _bwd_call(
-        piT, pjT, maskb, w2c, b2r, wgr, bgr, ghatT, True, activation,
+    pi_p, pj_p, maskb, w2c, b2r, wgr, bgr, protos, n = res
+    npad = pi_p.shape[1]
+    ghatN = ghat if npad == n else jnp.pad(
+        ghat, ((0, 0), (0, npad - n), (0, 0)))
+    ghatN = ghatN.astype(pi_p.dtype)
+    dpiN, dpjN, dw2, db2, dwg, dbg = _bwd_call(
+        pi_p, pj_p, maskb, w2c, b2r, wgr, bgr, ghatN, activation,
         interpret)
-    (dpjT,) = _bwd_call(
-        pjT, piT, jnp.swapaxes(maskb, 0, 1), w2c, b2r, wgr, bgr, ghatT,
-        False, activation, interpret)
-    dpi = jnp.swapaxes(dpiT, -1, -2)[:, :n]
-    dpj = jnp.swapaxes(dpjT, -1, -2)[:, :n]
+    dpi = dpiN[:, :n]
+    dpj = dpjN[:, :n]
     dt_mask, dt_w2, dt_b2, dt_wg, dt_bg = (p.dtype for p in protos)
-    return (dpi.astype(piT.dtype), dpj.astype(pjT.dtype),
+    return (dpi.astype(pi_p.dtype), dpj.astype(pj_p.dtype),
             jnp.zeros((n, n), dt_mask),     # mask grad: DCE'd upstream
             dw2.astype(dt_w2), db2.reshape(-1).astype(dt_b2),
             dwg.reshape(-1, 1).astype(dt_wg),
