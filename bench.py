@@ -31,16 +31,54 @@ import time
 import numpy as np
 
 BASELINE_BATCH_S = 116.58  # PV-US 100-nn SGP row, BASELINE.md
+
+# Priority-ordered (highest first) extras for the COMPACT final stdout
+# line — the driver records only a ~2000-char tail, so the last line
+# must stay under ~1750 chars. Every Table-2 row leads; diagnostics
+# trail and are the first dropped by the length cap in _emit.
+_COMPACT_KEYS = [
+    # SGP rows (PV 100-nn is the top-level value/vs_baseline)
+    "cer_train_batch_s", "cer_sgp_vs_a5000",
+    "pv_full_train_batch_s", "pv_full_sgp_vs_a5000",
+    "cer_full_train_batch_s", "cer_full_sgp_vs_a5000",
+    # PV baselines, 100-nn + full
+    "gatedgn_full_batch_s", "gatedgn_full_vs_a5000",
+    "dcrnn_batch_s", "dcrnn_vs_a5000",
+    "gwnet_batch_s", "gwnet_vs_a5000",
+    "gatedgn_bf16_batch_s", "gatedgn_bf16_vs_a5000",
+    "dcrnn_full_batch_s", "dcrnn_full_vs_a5000",
+    "gwnet_full_batch_s", "gwnet_full_vs_a5000",
+    # CER-En baselines, 100-nn + full
+    "cer_dcrnn_batch_s", "cer_dcrnn_vs_a5000",
+    "cer_gwnet_batch_s", "cer_gwnet_vs_a5000",
+    "cer_gatedgn_bf16_batch_s", "cer_gatedgn_bf16_vs_a5000",
+    "cer_dcrnn_full_batch_s", "cer_dcrnn_full_vs_a5000",
+    "cer_gwnet_full_batch_s", "cer_gwnet_full_vs_a5000",
+    "cer_gatedgn_full_batch_s", "cer_gatedgn_full_vs_a5000",
+    # key perf evidence
+    "gn_allpairs_pallas_vs_xla_speedup",
+    "gwnet_mfu", "gatedgn_bf16_mfu", "mfu_vs_bf16_peak",
+    "scaling_proj_32chips_efficiency",
+    "stratified_batch_s_T8868", "stratified_batch_s_T4434",
+    "traffic_stratified_fullT34272_batch_s",
+    "traffic_fused_epoch_s_T8640",
+    "serve_latency_ms_p50",
+    "gatedgn_batch_s", "gatedgn_vs_a5000",
+    # diagnostics (dropped first under the length cap)
+    "killed_by_signal", "probe_failed",
+    "encode_wall_s_T1024_N5016_D512", "train_compile_s",
+    "spmm_edges_per_s", "multitrial_k8_speedup_vs_sequential",
+]
 # last successful real-chip headline, written by main() and read by the
 # relay-down fallback
 _LAST_REAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "log", "last_real_bench.json")
 # HARD wall-clock budget. Round 3's driver run was killed by an external
-# timeout (BENCH_r03.json rc=124) with NOTHING on stdout — the budget
-# must be enforced strictly (no per-child minimums that overrun it) and
-# a full result line must be printed after EVERY section (see _emit) so
-# a kill at any point still leaves a parseable last line.
-BUDGET_S = float(os.environ.get("SGP_BENCH_BUDGET_S", 2400))
+# timeout (BENCH_r03.json rc=124) with NOTHING on stdout; round 4's ran
+# its internal 2400 s budget into the driver's ~1800 s kill (rc=124
+# again). Default LOW enough that the final emit happens INSIDE the
+# driver's observed window, with slack for the last child to finish.
+BUDGET_S = float(os.environ.get("SGP_BENCH_BUDGET_S", 1540))
 PEAK_BF16_FLOPS = 197e12   # TPU v5e peak (MXU bf16)
 
 # Persistent compile cache for every TPU child. The tunnel's compile
@@ -997,16 +1035,25 @@ def section_baseline(name: str) -> dict:
         params, opt_state, loss = pred._train_step(params, opt_state,
                                                    bdata, k2)
     _sync(loss)
-    steps = 20
-    t0 = time.time()
-    for _ in range(steps):
-        key, k2 = jax.random.split(key)
-        params, opt_state, loss = pred._train_step(params, opt_state,
-                                                   bdata, k2)
-    _sync(loss)
-    bps = steps / (time.time() - t0)
+    # 3 timed repeats -> median + min/max spread (VERDICT r4 item 6:
+    # the tunnel's service-window variance moved DCRNN 1.5-2.3x between
+    # runs; the spread makes a regression distinguishable from a bad
+    # window)
+    rates = []
+    for _ in range(3):
+        steps = 7
+        t0 = time.time()
+        for _ in range(steps):
+            key, k2 = jax.random.split(key)
+            params, opt_state, loss = pred._train_step(
+                params, opt_state, bdata, k2)
+        _sync(loss)
+        rates.append(steps / (time.time() - t0))
+    bps = float(np.median(rates))
     ref = ref_tbl[key_b]
     out[f"{name}_batch_s"] = round(bps, 2)
+    out[f"{name}_batch_s_spread"] = [round(min(rates), 2),
+                                     round(max(rates), 2)]
     out[f"{name}_vs_a5000"] = round(bps / ref, 2)
     # compiled HBM footprint (Table 2's memory column) + MFU from XLA's
     # own cost model — shows where each baseline sits against the MXU
@@ -1025,6 +1072,40 @@ def section_baseline(name: str) -> dict:
                 float(cost["flops"]) * bps / PEAK_BF16_FLOPS, 4)
     except Exception as e:
         out[f"{name}_hbm_error"] = str(e)[:100]
+
+    if base.startswith("gatedgn") and full and _SCALE == "pv":
+        # Pallas-vs-XLA decision data (VERDICT r4 item 2): the shipped
+        # row above auto-selects the fused Pallas all-pairs kernel on
+        # TPU; re-jit the identical step with the blocked-XLA path and
+        # time it, so the kernel choice is backed by a recorded number.
+        from sgp_tpu.models import graph_layers as _gl
+        try:
+            _gl.ALLPAIRS_PALLAS = False
+            pred2 = Predictor(model, loss="mae", lr=1e-3, grad_clip=5.0,
+                              batch_to_call=to_call, seed=0)
+            pred2.init(bdata, scaler)
+            p2, s2 = pred2.params, pred2.opt_state
+            t0 = time.time()
+            p2, s2, l2 = pred2._train_step(p2, s2, bdata, key)
+            _sync(l2)
+            out[f"{name}_xla_compile_s"] = round(time.time() - t0, 2)
+            for _ in range(3):
+                key, k2 = jax.random.split(key)
+                p2, s2, l2 = pred2._train_step(p2, s2, bdata, k2)
+            _sync(l2)
+            t0 = time.time()
+            for _ in range(7):
+                key, k2 = jax.random.split(key)
+                p2, s2, l2 = pred2._train_step(p2, s2, bdata, k2)
+            _sync(l2)
+            xla_bps = 7 / (time.time() - t0)
+            out[f"{name}_xla_batch_s"] = round(xla_bps, 2)
+            out["gn_allpairs_pallas_vs_xla_speedup"] = round(
+                bps / xla_bps, 2)
+        except Exception as e:
+            out["gn_allpairs_xla_error"] = str(e)[:120]
+        finally:
+            _gl.ALLPAIRS_PALLAS = None
     return out
 
 
@@ -1334,12 +1415,16 @@ def main():
     extras = {}
 
     def _emit(final: bool = False):
-        """Print the CURRENT full result line and flush. Called after
-        every section so an external kill (round 3: rc=124, empty tail)
-        still leaves the most recent complete JSON as the last stdout
-        line. Only the last printed line counts."""
+        """Print the CURRENT full result line, then a COMPACT summary
+        line, and flush. Called after every section so an external kill
+        (round 3: rc=124, empty tail; round 4: full line bigger than
+        the driver's 2000-char stdout tail) still leaves a parseable
+        last line. The compact line is ALWAYS last and kept under
+        ~1750 chars so the 2000-char tail contains it whole; the full
+        extras additionally land in ``log/bench_full.json``."""
         batch_s = extras.get("train_batch_s", 0.0)
-        line = {
+        wall = round(time.time() - t_start, 1)
+        full = {
             "metric":
                 "sgp_iid_decoder_train_throughput_pvus100nn_b4096",
             "value": batch_s,
@@ -1348,17 +1433,32 @@ def main():
             "extras": {k: v for k, v in extras.items()
                        if k != "train_batch_s"},
         }
-        line["extras"]["total_bench_wall_s"] = round(
-            time.time() - t_start, 1)
+        full["extras"]["total_bench_wall_s"] = wall
         if not final:
-            line["partial"] = True
-        print(json.dumps(line), flush=True)
+            full["partial"] = True
+        print(json.dumps(full), flush=True)
+        try:   # full record for the judge, never stdout-truncated
+            os.makedirs(os.path.dirname(_LAST_REAL_PATH), exist_ok=True)
+            with open(os.path.join(os.path.dirname(_LAST_REAL_PATH),
+                                   "bench_full.json"), "w") as f:
+                json.dump(full, f, indent=1)
+        except OSError:
+            pass
+        # compact LAST line: headline + every Table-2 row, length-capped
+        comp = dict(full)
+        sel = {}
+        present = [k for k in _COMPACT_KEYS if k in full["extras"]]
+        for k in present:
+            sel[k] = full["extras"][k]
+        sel["total_bench_wall_s"] = wall
+        comp["extras"] = sel
+        while len(json.dumps(comp)) > 1750 and present:
+            sel.pop(present.pop(), None)   # drop lowest-priority first
+        print(json.dumps(comp), flush=True)
         if final and batch_s > 0:
             # record for the relay-down fallback (never hand-copy the
             # headline into code again)
             try:
-                os.makedirs(os.path.dirname(_LAST_REAL_PATH),
-                            exist_ok=True)
                 with open(_LAST_REAL_PATH, "w") as f:
                     json.dump({"value": batch_s,
                                "measured_utc": time.strftime(
@@ -1403,33 +1503,38 @@ def main():
     # windows); a child that still overruns is dropped, not waited
     # for. If the total overruns an external kill, the incremental
     # _emit lines above keep the last completed state parseable.
+    # Ordered by EVIDENCE PRIORITY (VERDICT r4 item 1c): the contested
+    # Table-2 rows run first so a bad tunnel window cannot push them
+    # past the driver's kill again; the studies that already have an
+    # official record (roofline/bsr/serve) run last.
     plan = [
-        ("headline", 900, 0),        # always attempt the headline
-        ("roofline", 480, 150),
-        ("baseline:dcrnn", 700, 150),
-        ("baseline:gwnet", 900, 200),
-        ("baseline:gatedgn_bf16", 600, 150),
-        # full-graph Table-2 rows (PV-US 14.75% dense, 3.7M edges)
-        ("baseline:dcrnn_full", 600, 150),
-        ("baseline:gwnet_full", 700, 150),
-        ("baseline:gatedgn_full", 600, 150),
+        ("headline", 780, 0),        # always attempt the headline
+        # the round-4 flip row: dense all-pairs + Pallas-vs-XLA key
+        ("baseline:gatedgn_full", 420, 120),
         # CER-En Table-2 rows (6,435 nodes): three rows share a child
         # so the first-dispatch tunnel cost and graph build amortize;
         # a partial line lands after every row
-        ("baseline3:dcrnn,gwnet,gatedgn_bf16@cer", 900, 250),
-        ("baseline3:dcrnn_full,gwnet_full,gatedgn_full@cer", 900, 250),
-        ("headline@cer", 600, 200),       # the SGP CER-En Table-2 row
+        ("baseline3:dcrnn_full,gwnet_full,gatedgn_full@cer", 700, 200),
+        ("baseline3:dcrnn,gwnet,gatedgn_bf16@cer", 700, 200),
+        ("headline@cer", 420, 150),       # the SGP CER-En Table-2 row
         # the SGP "full"-graph Table-2 rows: same programs over the
         # full-density operator (warm cache: the train program is
         # IDENTICAL to the 100-nn row's, only the encode differs)
-        ("headline@pv_full", 420, 170),
-        ("headline@cer_full", 420, 170),
-        ("bsr", 480, 150),
-        ("serve", 360, 130),
-        (f"truescale:{T_TRUE}", 540, 240),
-        ("aux", 700, 200),
-        ("traffic_fullt", 580, 200),
-        ("baseline:gatedgn", 600, 150),   # f32 reference-parity row
+        ("headline@pv_full", 360, 130),
+        ("headline@cer_full", 360, 130),
+        ("baseline:dcrnn", 420, 120),
+        ("baseline:gwnet", 480, 130),
+        ("baseline:gatedgn_bf16", 360, 120),
+        # full-graph PV rows (14.75% dense, 3.7M edges)
+        ("baseline:dcrnn_full", 360, 120),
+        ("baseline:gwnet_full", 420, 120),
+        (f"truescale:{T_TRUE}", 480, 200),
+        ("traffic_fullt", 540, 180),
+        ("aux", 600, 180),
+        ("baseline:gatedgn", 420, 120),   # f32 reference-parity row
+        ("roofline", 480, 150),
+        ("bsr", 420, 130),
+        ("serve", 300, 110),
     ]
     truescale_done = False
     for name, cap, need in plan:

@@ -26,12 +26,15 @@ from sgp_tpu.utils.logging import logger
 
 def build_subgraph_forward(args, ds, u_size):
     """Forward adapters that rebuild graph operators from the padded
-    per-batch subgraph arrays, device-side."""
+    per-batch subgraph arrays, device-side. Returns ``(model, to_call,
+    static_batch)`` — full-graph state rides in ``static_batch`` (see
+    ``build_model_and_forward``) so the [N, N] arrays trace as step
+    arguments, never HLO constants."""
     name = args.model_name
     if name in ("dcrnn", "gwnet"):
-        base_model, _ = build_model_and_forward(args, ds, u_size)
+        base_model, _, _ = build_model_and_forward(args, ds, u_size)
         from sgp_tpu.models.graph_layers import diff_conv_support
-        full_supports = diff_conv_support(ds.graph)
+        static = {"supports": diff_conv_support(ds.graph)}
 
         def to_call(batch, training):
             if "sub_src" in batch:
@@ -39,29 +42,32 @@ def build_subgraph_forward(args, ds, u_size):
                     batch["sub_src"], batch["sub_dst"],
                     batch["sub_weight"], batch["x"].shape[-2])
             else:
-                supports = full_supports
+                supports = batch["supports"]
             kwargs = {"u": batch.get("u"), "training": training}
             if name == "gwnet":
                 kwargs["node_index"] = batch.get("node_index")
             return (batch["x"], supports), kwargs
-        return base_model, to_call
+        return base_model, to_call, static
     if name in ("gatedgn", "gatedgn_conv"):
-        base_model, _ = build_model_and_forward(args, ds, u_size)
+        base_model, _, _ = build_model_and_forward(args, ds, u_size)
         import jax.numpy as jnp
-        g_src = jnp.asarray(ds.graph.src.astype(np.int32))
-        g_dst = jnp.asarray(ds.graph.dst.astype(np.int32))
         # full-graph (non-subsampled) batches honor --gn-aggregation;
         # subgraph batches always carry their own edge list
         agg = getattr(args, "gn_aggregation", "edges")
-        gn_static = {}
+        static = {}
         if agg == "ell":
             from sgp_tpu.graph.sparse import padded_incoming
             si, nm = padded_incoming(ds.graph)
-            gn_static["neigh"] = (jnp.asarray(si), jnp.asarray(nm))
+            static["gn_neigh"] = (jnp.asarray(si), jnp.asarray(nm))
         elif agg == "dense":
-            gn_static["adj"] = jnp.asarray(
-                (ds.graph.to_dense() != 0).astype(np.float32)).astype(
-                    jnp.bfloat16)
+            # scattered ON DEVICE from the edge list — uploading a
+            # host-densified [N, N] would move ~165 MB through the
+            # ~MB/s tunnel at Table-2 scale
+            from sgp_tpu.ops.spmm import dense_adj_mask
+            static["gn_adj"] = dense_adj_mask(ds.graph)
+        else:
+            static["gn_src"] = jnp.asarray(ds.graph.src.astype(np.int32))
+            static["gn_dst"] = jnp.asarray(ds.graph.dst.astype(np.int32))
 
         def to_call(batch, training):
             if "sub_src" in batch:
@@ -71,13 +77,18 @@ def build_subgraph_forward(args, ds, u_size):
                     "node_index": batch.get("node_index"),
                     "edge_mask": (batch["sub_weight"] != 0),
                     "training": training}
+            gn = {}
+            if "gn_adj" in batch:
+                gn["adj"] = batch["gn_adj"]
+            elif "gn_neigh" in batch:
+                gn["neigh"] = batch["gn_neigh"]
+            elif "gn_src" in batch:
+                gn["src"], gn["dst"] = batch["gn_src"], batch["gn_dst"]
             return (batch["x"],), {
-                "src": None if gn_static else g_src,
-                "dst": None if gn_static else g_dst,
                 "u": batch.get("u"),
                 "node_index": batch.get("node_index"),
-                "edge_mask": None, "training": training, **gn_static}
-        return base_model, to_call
+                "edge_mask": None, "training": training, **gn}
+        return base_model, to_call, static
     # rnn / fc_rnn need no graph
     return build_model_and_forward(args, ds, u_size)
 
@@ -101,7 +112,7 @@ def run_experiment(args):
 
     sample = ds.gather_batch(np.array([0]))
     u_size = sample["u"].shape[-1] if "u" in sample else 0
-    model, to_call = build_subgraph_forward(args, ds, u_size)
+    model, to_call, static = build_subgraph_forward(args, ds, u_size)
 
     batches_epoch = args.batches_epoch if args.batches_epoch > 0 else 32
     num_sub = args.num_subgraph_nodes or max(ds.n_nodes // 8, 256)
@@ -127,7 +138,8 @@ def run_experiment(args):
         lr_milestones=args.lr_milestones if args.use_lr_schedule else None,
         lr_gamma=args.lr_gamma, steps_per_epoch=batches_epoch,
         scale_target=args.scale_target, metrics=metrics,
-        batch_to_call=to_call, seed=args.seed, mesh=dp_mesh(args))
+        batch_to_call=to_call, seed=args.seed, mesh=dp_mesh(args),
+        static_batch=static)
 
     infer_bs = args.batch_inference or args.batch_size
     test_loader = WindowedLoader(ds, split.test, batch_size=infer_bs)

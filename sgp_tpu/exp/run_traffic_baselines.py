@@ -86,7 +86,14 @@ def configure_parser() -> argparse.ArgumentParser:
 
 
 def build_model_and_forward(args, ds, u_size):
-    """Model + its forward adapter (graph operators are per-model)."""
+    """Model + its forward adapter + static graph state.
+
+    Returns ``(model, to_call, static_batch)``: graph operators /
+    adjacency masks / edge lists ride in ``static_batch`` (merged into
+    every batch by the Predictor) so they trace as jitted-step
+    ARGUMENTS — closure capture in ``to_call`` would embed them as HLO
+    constants (minutes of XLA constant folding + compile-service
+    HTTP 413 at Table-2 scale, CLAUDE.md round-4 notes)."""
     g = ds.graph
     name = args.model_name
     if name == "rnn":
@@ -98,7 +105,7 @@ def build_model_and_forward(args, ds, u_size):
                          ff_layers=args.ff_layers,
                          cell_type=args.cell_type,
                          dropout=args.ff_dropout)
-        return model, None
+        return model, None, None
     if name == "fc_rnn":
         model = FCRNNModel(n_nodes=ds.n_nodes, output_size=ds.n_channels,
                            horizon=ds.windowing.horizon_steps,
@@ -108,7 +115,7 @@ def build_model_and_forward(args, ds, u_size):
                            ff_layers=args.ff_layers,
                            cell_type=args.cell_type,
                            dropout=args.ff_dropout)
-        return model, None
+        return model, None, None
     if name == "dcrnn":
         supports = diff_conv_support(g)
         model = DCRNNModel(hidden_size=args.hidden_size,
@@ -120,9 +127,9 @@ def build_model_and_forward(args, ds, u_size):
                            dropout=args.dropout)
 
         def to_call(batch, training):
-            return (batch["x"], supports), {"u": batch.get("u"),
-                                            "training": training}
-        return model, to_call
+            return (batch["x"], batch["supports"]), {
+                "u": batch.get("u"), "training": training}
+        return model, to_call, {"supports": supports}
     if name == "gwnet":
         supports = diff_conv_support(g)
         model = GraphWaveNetModel(
@@ -138,11 +145,11 @@ def build_model_and_forward(args, ds, u_size):
             norm=args.norm, dropout=args.dropout)
 
         def to_call(batch, training):
-            return (batch["x"], supports), {
+            return (batch["x"], batch["supports"]), {
                 "u": batch.get("u"),
                 "node_index": batch.get("node_index"),
                 "training": training}
-        return model, to_call
+        return model, to_call, {"supports": supports}
     if name in ("tcn", "transformer"):
         from sgp_tpu.models import get_model_class
         cls = get_model_class(name)
@@ -151,7 +158,7 @@ def build_model_and_forward(args, ds, u_size):
                       horizon=ds.windowing.horizon_steps,
                       n_layers=args.n_layers, dropout=args.dropout)
         model = cls(**common)
-        return model, None
+        return model, None, None
     if name in ("stcn", "rnn2gcn"):
         from sgp_tpu.graph import normalize_adj
         from sgp_tpu.models import get_model_class
@@ -173,9 +180,9 @@ def build_model_and_forward(args, ds, u_size):
                         dropout=args.dropout)
 
         def to_call(batch, training):
-            return (batch["x"], op), {"u": batch.get("u"),
-                                      "training": training}
-        return model, to_call
+            return (batch["x"], batch["op"]), {"u": batch.get("u"),
+                                               "training": training}
+        return model, to_call, {"op": op}
     if name in ("gatedgn", "gatedgn_conv"):
         cls = (GatedGraphNetworkMLPModel if name == "gatedgn"
                else GatedGraphNetworkConvModel)
@@ -189,30 +196,41 @@ def build_model_and_forward(args, ds, u_size):
                     activation=args.activation,
                     compute_dtype=getattr(args, "compute_dtype", None))
         agg = getattr(args, "gn_aggregation", "edges")
-        src = dst = None
-        gn_static = {}
+        static = {}
         if args.full_graph:
+            if agg == "ell":
+                import warnings
+                warnings.warn(
+                    "--full-graph honors only --gn-aggregation dense; "
+                    "'ell' falls back to the generated all-pairs edge "
+                    "list", stacklevel=2)
             if agg == "dense":    # FC-GatedGN as all-pairs MXU blocks
-                gn_static["adj"] = jnp.ones(
+                static["gn_adj"] = jnp.ones(
                     (ds.n_nodes, ds.n_nodes), jnp.bfloat16)
         elif agg == "ell":
             from sgp_tpu.graph.sparse import padded_incoming
             si, nm = padded_incoming(g)
-            gn_static["neigh"] = (jnp.asarray(si), jnp.asarray(nm))
+            static["gn_neigh"] = (jnp.asarray(si), jnp.asarray(nm))
         elif agg == "dense":
-            gn_static["adj"] = jnp.asarray(
-                (g.to_dense() != 0).astype(np.float32)).astype(
-                    jnp.bfloat16)
+            from sgp_tpu.ops.spmm import dense_adj_mask
+            static["gn_adj"] = dense_adj_mask(g)   # device scatter
         else:
-            src = jnp.asarray(g.src.astype(np.int32))
-            dst = jnp.asarray(g.dst.astype(np.int32))
+            static["gn_src"] = jnp.asarray(g.src.astype(np.int32))
+            static["gn_dst"] = jnp.asarray(g.dst.astype(np.int32))
 
         def to_call(batch, training):
+            gn = {}
+            if "gn_adj" in batch:
+                gn["adj"] = batch["gn_adj"]
+            elif "gn_neigh" in batch:
+                gn["neigh"] = batch["gn_neigh"]
+            elif "gn_src" in batch:
+                gn["src"], gn["dst"] = batch["gn_src"], batch["gn_dst"]
             return (batch["x"],), {
-                "src": src, "dst": dst, "u": batch.get("u"),
+                "u": batch.get("u"),
                 "node_index": batch.get("node_index"),
-                "training": training, **gn_static}
-        return model, to_call
+                "training": training, **gn}
+        return model, to_call, static
     raise ValueError(f"Model {name} not available.")
 
 
@@ -235,7 +253,7 @@ def run_experiment(args):
 
     sample = ds.gather_batch(np.array([0]))
     u_size = sample["u"].shape[-1] if "u" in sample else 0
-    model, to_call = build_model_and_forward(args, ds, u_size)
+    model, to_call, static = build_model_and_forward(args, ds, u_size)
 
     batches_epoch = args.batches_epoch if args.batches_epoch > 0 else None
     metrics = MaskedMetrics.forecasting(
@@ -249,7 +267,8 @@ def run_experiment(args):
         steps_per_epoch=batches_epoch or max(
             1, len(split.train) // args.batch_size),
         scale_target=args.scale_target, metrics=metrics,
-        batch_to_call=to_call, seed=args.seed, mesh=dp_mesh(args))
+        batch_to_call=to_call, seed=args.seed, mesh=dp_mesh(args),
+        static_batch=static)
 
     train_loader = WindowedLoader(ds, split.train,
                                   batch_size=args.batch_size,

@@ -310,10 +310,15 @@ class GatedGraphNetwork(nn.Module):
             bg = d_gate.variables["params"]["bias"].astype(dt)
             acc = jnp.float32 if self.dtype is not None else in_dtype
             from sgp_tpu.ops.gn_allpairs import (ACTIVATIONS as _AP,
-                                                 gn_allpairs_aggregate)
+                                                 gn_allpairs_aggregate,
+                                                 max_pallas_nodes)
             on_tpu = jax.default_backend() == "tpu"
             use_pallas = (self.activation in _AP and h2 % 8 == 0
                           and self.output_size % 8 == 0
+                          # bwd d_pi/d_pj are whole-array VMEM blocks:
+                          # beyond this N Mosaic can't allocate them —
+                          # fall back to the blocked-XLA path
+                          and n <= max_pallas_nodes(h2)
                           and (on_tpu if ALLPAIRS_PALLAS is None
                                else ALLPAIRS_PALLAS))
             if use_pallas:

@@ -28,11 +28,14 @@ h2=32 lanes to 128 (4x VPU waste).
 
 Backward (``jax.custom_vjp``) recomputes the forward tiles (the N^2
 intermediates are never stored — same rematerialization the XLA path
-gets from ``jax.checkpoint``, but in VMEM): one pass over (dst-block,
-src-block) accumulates d_pi and the four weight grads; a second pass
-with src/dst roles swapped (and the mask transposed) accumulates
-d_pj. Weight-gradient tiles accumulate in a constant-index f32 output
-block across the whole sequential grid.
+gets from ``jax.checkpoint``, but in VMEM): ONE pass over (dst-block,
+src-block) pairs in which each tile's ``ds_ij`` feeds BOTH node grads
+— its row sum accumulates into d_pi and its column sum into d_pj, via
+``pl.ds`` row/col-indexed updates of whole-array VMEM output blocks.
+Weight-gradient tiles likewise accumulate in constant-index f32
+output blocks across the whole sequential grid. The d_pi/d_pj blocks
+are ``[1, Npad, h2]`` f32 and must FIT VMEM — callers gate on N (see
+``max_pallas_nodes``) and fall back to the blocked-XLA path beyond.
 """
 from __future__ import annotations
 
@@ -100,6 +103,18 @@ ACTIVATIONS = {
 _FWD_BI = 128
 _BWD_BR = 64
 _BLK_J = 128
+
+
+def max_pallas_nodes(h2: int, vmem_budget: int = 10 * 2 ** 20) -> int:
+    """Largest node count the backward kernel can hold in VMEM: the
+    d_pi/d_pj outputs are whole-array ``[1, Npad, h2]`` f32 blocks
+    (``2 * Npad * h2 * 4`` bytes) kept under ``vmem_budget`` so the
+    per-tile working set still fits the ~16 MB scoped limit. Callers
+    (``models/graph_layers.py``) fall back to the blocked-XLA
+    all-pairs path beyond this."""
+    mult = int(np.lcm(np.lcm(_FWD_BI, _BLK_J), _BWD_BR))
+    n = vmem_budget // (2 * 4 * max(h2, 1))
+    return (n // mult) * mult
 
 
 def _pad_to(x, mult: int, axis: int):
@@ -313,6 +328,11 @@ def gn_allpairs_aggregate(p_i, p_j, mask, w2, b2, wg, bg,
       p_j: ``[B, N, h2]`` src-side projections (``W_j x``).
       mask: ``[N, N]``, ``mask[dst, src] != 0`` marks an edge
         (weights are ignored — GatedGN messages are unweighted).
+        NON-DIFFERENTIABLE: the VJP returns a hard-zero cotangent for
+        ``mask``, so a learnable/weighted adjacency (e.g. a
+        GWNet-style adaptive adj) would silently train with a frozen
+        graph — wrap such a mask in ``lax.stop_gradient`` to make the
+        intent explicit, or use the blocked-XLA path.
       w2, b2: second edge-MLP layer ``[h2, h]``, ``[h]``.
       wg, bg: gate layer ``[h, 1]``, ``[1]``.
       activation: one of ``ACTIVATIONS``.

@@ -55,16 +55,29 @@ class Predictor:
                  metrics: Optional[MaskedMetrics] = None,
                  batch_to_call: Optional[Callable] = None,
                  seed: int = 0,
-                 mesh=None):
+                 mesh=None,
+                 static_batch: Optional[dict] = None):
         """``mesh``: a ``jax.sharding.Mesh`` with a ``data`` axis turns
         every loader-based step data-parallel — batches are sharded
         along the sample dim, params/optimizer replicated, and XLA's
         SPMD partitioner inserts the gradient/metric reductions. Works
         for ANY model/batch layout the Predictor handles (incl.
         subgraph batches); ragged tail batches fall back to replicated
-        placement (identical math)."""
+        placement (identical math).
+
+        ``static_batch``: per-run graph state (dense supports, [N, N]
+        adjacency masks, ELL neighbor tables, edge lists) merged into
+        EVERY batch before the jitted step, so the arrays trace as step
+        ARGUMENTS. Closure-capturing them in ``batch_to_call`` instead
+        embeds them as HLO constants — at Table-2 scale that stalls
+        XLA constant folding for minutes and overflows the remote
+        compile service's request limit (measured HTTP 413, CLAUDE.md
+        round-4 notes). Keys already present in a batch win."""
         self.model = model
         self.mesh = mesh
+        self.static_batch = {
+            k: jax.tree.map(jnp.asarray, v)
+            for k, v in (static_batch or {}).items()}
         self.loss_kind = loss
         self.scale_target = scale_target
         self.metrics = metrics or MaskedMetrics.forecasting()
@@ -89,7 +102,7 @@ class Predictor:
 
     # -- setup -------------------------------------------------------------
     def init(self, batch, scaler: ScalerParams):
-        batch = _to_device(batch)
+        batch = _to_device({**self.static_batch, **batch})
         self.rng, init_rng, drop_rng = jax.random.split(self.rng, 3)
         args, kwargs = self.batch_to_call(batch, training=False)
         # jit the init into ONE program: an eager flax init dispatches
@@ -198,6 +211,8 @@ class Predictor:
         per-batch subgraph arrays, node_index, scalers) replicates.
         Ragged tail batches replicate entirely — identical math, XLA
         just skips the partitioning. No mesh: plain device arrays."""
+        if self.static_batch:
+            batch = {**self.static_batch, **batch}
         if self.mesh is None:
             return _to_device(batch)
         from jax.sharding import NamedSharding, PartitionSpec as P
