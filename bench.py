@@ -44,6 +44,7 @@ _COMPACT_KEYS = [
     # PV baselines, 100-nn + full
     "gatedgn_full_batch_s", "gatedgn_full_vs_a5000",
     "dcrnn_batch_s", "dcrnn_vs_a5000",
+    "gwnet_bf16_batch_s", "gwnet_bf16_vs_a5000",
     "gwnet_batch_s", "gwnet_vs_a5000",
     "gatedgn_bf16_batch_s", "gatedgn_bf16_vs_a5000",
     "dcrnn_full_batch_s", "dcrnn_full_vs_a5000",
@@ -57,6 +58,7 @@ _COMPACT_KEYS = [
     "cer_gatedgn_full_batch_s", "cer_gatedgn_full_vs_a5000",
     # key perf evidence
     "gn_allpairs_pallas_vs_xla_speedup",
+    "gn_ell_pallas_vs_xla_speedup",
     "gwnet_mfu", "gatedgn_bf16_mfu", "mfu_vs_bf16_peak",
     "scaling_proj_32chips_efficiency",
     "stratified_batch_s_T8868", "stratified_batch_s_T4434",
@@ -920,9 +922,9 @@ def section_baseline(name: str) -> dict:
     window, exog_size = 36, 2
     h_steps = len(range(0, HORIZON, HORIZON_LAG))   # 4 eval steps
     # Table-2 batch sizes + A5000 batch/s rows per dataset scale
-    # (BASELINE.md; gatedgn_bf16 shares the gatedgn row)
-    key_b = ("gatedgn" if base.startswith("gatedgn") else base) + \
-        ("_full" if full else "")
+    # (BASELINE.md; *_bf16 variants share their f32 row)
+    key_b = (base[:-len("_bf16")] if base.endswith("_bf16") else base) \
+        + ("_full" if full else "")
     batch_tbl = {
         "pv": {"dcrnn": 2, "gwnet": 2, "gatedgn": 5,
                "dcrnn_full": 1, "gwnet_full": 2, "gatedgn_full": 1},
@@ -963,7 +965,7 @@ def section_baseline(name: str) -> dict:
         def to_call(b, training):
             return (b["x"], b["supports"]), {"u": b.get("u"),
                                              "training": training}
-    elif base == "gwnet":
+    elif base in ("gwnet", "gwnet_bf16"):
         graph_state["supports"] = dense_supports()
         model = GraphWaveNetModel(
             hidden_size=32, ff_size=256, output_size=1,
@@ -1017,8 +1019,13 @@ def section_baseline(name: str) -> dict:
         "y": jax.jit(lambda k: jax.random.normal(
             k, (batch, h_steps, N_NODES, 1)))(jax.random.PRNGKey(22)),
     }
+    # *_bf16 GWNet = Predictor mixed precision (f32 master params, the
+    # whole fwd/bwd in bf16) — the bandwidth-bound small-op stack at
+    # hidden 32 halves its HBM bytes (VERDICT r4 item 3)
     pred = Predictor(model, loss="mae", lr=1e-3, grad_clip=5.0,
-                     batch_to_call=to_call, seed=0)
+                     batch_to_call=to_call, seed=0,
+                     compute_dtype=("bfloat16" if base == "gwnet_bf16"
+                                    else None))
     scaler = ScalerParams(jnp.zeros(1), jnp.ones(1))
     t0 = time.time()
     pred.init(bdata, scaler)
@@ -1073,14 +1080,14 @@ def section_baseline(name: str) -> dict:
     except Exception as e:
         out[f"{name}_hbm_error"] = str(e)[:100]
 
-    if base.startswith("gatedgn") and full and _SCALE == "pv":
-        # Pallas-vs-XLA decision data (VERDICT r4 item 2): the shipped
-        # row above auto-selects the fused Pallas all-pairs kernel on
-        # TPU; re-jit the identical step with the blocked-XLA path and
-        # time it, so the kernel choice is backed by a recorded number.
+    if base == "gatedgn_bf16" and not full and _SCALE == "pv":
+        # fused-ELL-kernel decision data (VERDICT r4 item 4): the row
+        # above runs the auto path (ops/gn_ell.py fused kernel on
+        # TPU); re-jit with the blocked-XLA ELL path and time it so
+        # the default stays measured (>1 = the kernel wins).
         from sgp_tpu.models import graph_layers as _gl
         try:
-            _gl.ALLPAIRS_PALLAS = False
+            _gl.ELL_PALLAS = False
             pred2 = Predictor(model, loss="mae", lr=1e-3, grad_clip=5.0,
                               batch_to_call=to_call, seed=0)
             pred2.init(bdata, scaler)
@@ -1088,7 +1095,42 @@ def section_baseline(name: str) -> dict:
             t0 = time.time()
             p2, s2, l2 = pred2._train_step(p2, s2, bdata, key)
             _sync(l2)
-            out[f"{name}_xla_compile_s"] = round(time.time() - t0, 2)
+            out[f"{name}_ellxla_compile_s"] = round(time.time() - t0, 2)
+            for _ in range(3):
+                key, k2 = jax.random.split(key)
+                p2, s2, l2 = pred2._train_step(p2, s2, bdata, k2)
+            _sync(l2)
+            t0 = time.time()
+            for _ in range(10):
+                key, k2 = jax.random.split(key)
+                p2, s2, l2 = pred2._train_step(p2, s2, bdata, k2)
+            _sync(l2)
+            xla_bps = 10 / (time.time() - t0)
+            out[f"{name}_ellxla_batch_s"] = round(xla_bps, 2)
+            out["gn_ell_pallas_vs_xla_speedup"] = round(
+                bps / xla_bps, 2)
+        except Exception as e:
+            out["gn_ell_xla_error"] = str(e)[:120]
+        finally:
+            _gl.ELL_PALLAS = None
+
+    if base.startswith("gatedgn") and full and _SCALE == "pv":
+        # Pallas-vs-XLA decision data (VERDICT r4 item 2): the shipped
+        # row above runs the blocked-XLA all-pairs path (the default —
+        # measured faster); re-jit the identical step with the fused
+        # Pallas kernel and time it, so the kernel choice stays backed
+        # by a recorded number (<1 = Pallas loses).
+        from sgp_tpu.models import graph_layers as _gl
+        try:
+            _gl.ALLPAIRS_PALLAS = True
+            pred2 = Predictor(model, loss="mae", lr=1e-3, grad_clip=5.0,
+                              batch_to_call=to_call, seed=0)
+            pred2.init(bdata, scaler)
+            p2, s2 = pred2.params, pred2.opt_state
+            t0 = time.time()
+            p2, s2, l2 = pred2._train_step(p2, s2, bdata, key)
+            _sync(l2)
+            out[f"{name}_pallas_compile_s"] = round(time.time() - t0, 2)
             for _ in range(3):
                 key, k2 = jax.random.split(key)
                 p2, s2, l2 = pred2._train_step(p2, s2, bdata, k2)
@@ -1098,12 +1140,12 @@ def section_baseline(name: str) -> dict:
                 key, k2 = jax.random.split(key)
                 p2, s2, l2 = pred2._train_step(p2, s2, bdata, k2)
             _sync(l2)
-            xla_bps = 7 / (time.time() - t0)
-            out[f"{name}_xla_batch_s"] = round(xla_bps, 2)
+            pallas_bps = 7 / (time.time() - t0)
+            out[f"{name}_pallas_batch_s"] = round(pallas_bps, 2)
             out["gn_allpairs_pallas_vs_xla_speedup"] = round(
-                bps / xla_bps, 2)
+                pallas_bps / bps, 2)
         except Exception as e:
-            out["gn_allpairs_xla_error"] = str(e)[:120]
+            out["gn_allpairs_pallas_error"] = str(e)[:120]
         finally:
             _gl.ALLPAIRS_PALLAS = None
     return out
@@ -1523,6 +1565,7 @@ def main():
         ("headline@pv_full", 360, 130),
         ("headline@cer_full", 360, 130),
         ("baseline:dcrnn", 420, 120),
+        ("baseline:gwnet_bf16", 480, 130),
         ("baseline:gwnet", 480, 130),
         ("baseline:gatedgn_bf16", 360, 120),
         # full-graph PV rows (14.75% dense, 3.7M edges)

@@ -202,3 +202,60 @@ def datetime_encoded(index: np.ndarray, units) -> np.ndarray:
         cols.append(np.sin(phase))
         cols.append(np.cos(phase))
     return np.stack(cols, axis=-1).astype(np.float32)
+
+def disjoint_months(dataset: SpatioTemporalDataset, months,
+                    synch_mode: str = "window"
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Partition items into ``(other_idxs, month_idxs)`` where an item
+    belongs to ``month_idxs`` iff its WINDOW (``synch_mode='window'``)
+    or HORIZON (``'horizon'``) lies entirely inside ``months``, and to
+    ``other_idxs`` iff it lies entirely outside — items straddling a
+    month boundary are dropped from both sides, making the two sets
+    temporally disjoint (``tsl/data/datamodule/splitters.py:287-312``,
+    the tsl imputation datamodules' split)."""
+    assert dataset.index is not None, "needs a datetime index"
+    months = np.atleast_1d(np.asarray(months, int))
+    w = dataset.windowing
+    if synch_mode == "window":
+        start, end = 0, max(w.window - 1, 0)
+    elif synch_mode == "horizon":
+        start = w.horizon_offset
+        end = w.horizon_offset + w.horizon - 1
+    else:
+        raise ValueError("synch_mode must be 'window' or 'horizon'")
+    starts = dataset.indices()
+    month_of = (dataset.index.astype("datetime64[M]").astype(int)
+                % 12 + 1)
+    idxs = np.arange(len(starts))
+
+    def both_in(mset):
+        return (np.isin(month_of[starts + start], mset)
+                & np.isin(month_of[starts + end], mset))
+
+    month_idxs = idxs[both_in(months)]
+    other_idxs = idxs[both_in(np.setdiff1d(np.arange(1, 13), months))]
+    return other_idxs, month_idxs
+
+
+class DisjointMonthsSplitter(Splitter):
+    """Calendar-month split: ``val_months``/``test_months`` items (fully
+    inside those months) become val/test; train is every item fully
+    inside the remaining months — window-disjoint by construction."""
+
+    def __init__(self, val_months=(12,), test_months=(1,),
+                 synch_mode: str = "window"):
+        self.val_months = val_months
+        self.test_months = test_months
+        self.synch_mode = synch_mode
+
+    def split(self, dataset) -> Split:
+        _, test_idx = disjoint_months(dataset, self.test_months,
+                                      self.synch_mode)
+        _, val_idx = disjoint_months(dataset, self.val_months,
+                                     self.synch_mode)
+        val_idx = np.setdiff1d(val_idx, test_idx)
+        train_idx, _ = disjoint_months(
+            dataset, np.union1d(np.asarray(self.val_months, int),
+                                np.asarray(self.test_months, int)),
+            self.synch_mode)
+        return Split(train_idx, val_idx, test_idx)

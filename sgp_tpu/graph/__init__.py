@@ -2,6 +2,7 @@ from sgp_tpu.graph.sparse import (
     Graph,
     add_self_loops,
     coalesce,
+    dummy_graph,
     edge_dropout,
     k_hop_subgraph,
     normalize_adj,
@@ -21,7 +22,8 @@ from sgp_tpu.graph.similarities import (
 )
 
 __all__ = [
-    "Graph", "add_self_loops", "coalesce", "edge_dropout", "k_hop_subgraph",
+    "Graph", "add_self_loops", "coalesce", "dummy_graph", "edge_dropout",
+    "k_hop_subgraph",
     "normalize_adj", "remove_self_loops", "spgemm", "to_undirected",
     "transpose", "weighted_degree",
     "correntropy", "gaussian_kernel", "geographical_distance",

@@ -325,3 +325,33 @@ def padded_incoming(g: Graph, pad_to: Optional[int] = None):
     src_idx[dst_s, slot] = src_s
     mask[dst_s, slot] = True
     return src_idx, mask
+
+def dummy_graph(kind: str, num_nodes: int, edge_prob: float = 0.1,
+                directed: bool = True, seed: int = 0):
+    """Synthetic connectivity (``tsl/ops/connectivity.py:258-290``
+    ``get_dummy_edge_index``): ``'identity'`` (A = I), ``'full'``
+    (all pairs incl. self), ``'random'`` (Erdős–Rényi with edge
+    probability ``edge_prob``; undirected = symmetrized upper
+    triangle), or ``'none'`` (returns None). Host-side :class:`Graph`
+    with unit weights."""
+    if kind == "none":
+        return None
+    if kind == "identity":
+        idx = np.arange(num_nodes, dtype=np.int64)
+        return Graph(idx, idx, np.ones(num_nodes, np.float32),
+                     num_nodes)
+    if kind == "full":
+        idx = np.arange(num_nodes, dtype=np.int64)
+        src = np.repeat(idx, num_nodes)
+        dst = np.tile(idx, num_nodes)
+        return Graph(src, dst, np.ones(len(src), np.float32), num_nodes)
+    if kind == "random":
+        rng = np.random.default_rng(seed)
+        keep = rng.random((num_nodes, num_nodes)) < edge_prob
+        np.fill_diagonal(keep, False)
+        if not directed:
+            keep = np.triu(keep) | np.triu(keep).T
+        src, dst = np.nonzero(keep)
+        return Graph(src.astype(np.int64), dst.astype(np.int64),
+                     np.ones(len(src), np.float32), num_nodes)
+    raise ValueError(f"unknown dummy connectivity {kind!r}")

@@ -25,10 +25,26 @@ from sgp_tpu.graph.sparse import Graph, normalize_adj, transpose
 from sgp_tpu.models.blocks import get_activation
 from sgp_tpu.ops.spmm import Operator, build_operator
 
-# Dense all-pairs GatedGN aggregation backend: None = auto (the fused
-# Pallas kernel on TPU, the blocked-XLA path elsewhere); True/False
-# force it on (interpret mode off-TPU — CPU parity tests) / off.
+# Dense all-pairs GatedGN aggregation backend: None = auto, which is
+# the blocked-XLA path — MEASURED faster than the fused Pallas kernel
+# at Table-2 scale (bench r5: Pallas/XLA step speedup 0.76x on the
+# PV-US full row; the kernel's [h2, BI, BJ] broadcast+activation is
+# VPU-bound and its skinny h2=32 contractions underfill the MXU,
+# while XLA's blocked GEMMs win despite the HBM round-trip).
+# True forces the Pallas kernel (interpret mode off-TPU — CPU parity
+# tests); False forces blocked-XLA.
 ALLPAIRS_PALLAS = None
+
+# ELL (padded-neighbor) GatedGN aggregation backend: None = auto,
+# which is the blocked-XLA path — MEASURED faster than the fused
+# ops/gn_ell.py kernel at Table-2 scale (bench r5:
+# gn_ell_pallas_vs_xla_speedup = 0.6; the kernel's backward must run
+# 16-node blocks to fit scoped VMEM, and ~1600 tiny sequential grid
+# steps of full-chain recompute cost more than the XLA path's HBM
+# round-trips). True forces the kernel (interpret off-TPU — CPU
+# parity tests); False forces blocked-XLA.
+ELL_PALLAS = None
+_ELL_ACTS = ("silu", "swish", "tanh", "relu", "elu")
 
 
 def diff_conv_support(g: Graph, add_backward: bool = True,
@@ -319,8 +335,9 @@ class GatedGraphNetwork(nn.Module):
                           # beyond this N Mosaic can't allocate them —
                           # fall back to the blocked-XLA path
                           and n <= max_pallas_nodes(h2)
-                          and (on_tpu if ALLPAIRS_PALLAS is None
-                               else ALLPAIRS_PALLAS))
+                          # auto = blocked-XLA (measured faster, see
+                          # ALLPAIRS_PALLAS note); True opts in
+                          and ALLPAIRS_PALLAS is True)
             if use_pallas:
                 # fused Pallas kernel: the whole per-pair chain stays
                 # in VMEM — the XLA block path below round-trips the
@@ -362,19 +379,54 @@ class GatedGraphNetwork(nn.Module):
             if neigh is not None:
                 src_idx, nmask = neigh
                 d = src_idx.shape[1]
-                pj_n = gather_nodes(p_j, src_idx.reshape(-1))
-                pj_n = pj_n.reshape(pj_n.shape[:-2] + (n, d, -1))
-                m = act(p_i[..., :, None, :] + pj_n)  # [..., N, D, h]
+                h2 = p_i.shape[-1]
+                # auto = blocked-XLA (measured faster, see ELL_PALLAS
+                # note); True opts in to the fused kernel
+                use_ell_pallas = (
+                    self.activation in _ELL_ACTS and h2 % 8 == 0
+                    and self.output_size % 8 == 0
+                    and ELL_PALLAS is True)
+                if use_ell_pallas:
+                    # fused kernel: XLA performs only the neighbor
+                    # gather (h2-wide); message MLP + gate + masked
+                    # neighbor-sum stay in VMEM (ops/gn_ell.py) — the
+                    # [.., N, D, h] intermediates never touch HBM
+                    from sgp_tpu.ops.gn_ell import gn_ell_aggregate
+                    dt = self.dtype or in_dtype
+                    _ = d_msg(jnp.zeros((1, h2), dt))
+                    _ = d_gate(jnp.zeros((1, self.output_size), dt))
+                    w2 = d_msg.variables["params"]["kernel"].astype(dt)
+                    b2 = d_msg.variables["params"]["bias"]
+                    wg = d_gate.variables["params"]["kernel"]
+                    bg = d_gate.variables["params"]["bias"]
+                    pj_n = gather_nodes(p_j.astype(dt),
+                                        src_idx.reshape(-1))
+                    lead = pj_n.shape[:-2]
+                    pjn4 = pj_n.reshape((-1, n, d, h2))
+                    pi3 = p_i.astype(dt).reshape((-1, n, h2))
+                    acc0 = (jnp.float32 if self.dtype is not None
+                            else in_dtype)
+                    agg = gn_ell_aggregate(
+                        pi3, pjn4, nmask, w2, b2, wg, bg,
+                        self.activation,
+                        jax.default_backend() != "tpu"
+                    ).reshape(lead + (n, self.output_size)).astype(acc0)
+                    m = None          # fused: agg computed, skip m-flow
+                else:
+                    pj_n = gather_nodes(p_j, src_idx.reshape(-1))
+                    pj_n = pj_n.reshape(pj_n.shape[:-2] + (n, d, -1))
+                    m = act(p_i[..., :, None, :] + pj_n)  # [.., N, D, h]
             else:
                 m = act(gather_nodes(p_i, dst) + gather_nodes(p_j, src))
-            m = act(d_msg(m))
-            gate = nn.sigmoid(d_gate(m))
-            m = gate * m
+            if m is not None:
+                m = act(d_msg(m))
+                gate = nn.sigmoid(d_gate(m))
+                m = gate * m
         # accumulate the neighbor sum in f32 when messages are bf16 —
         # the upcast fuses into the reduction, so the [.., N, D, h]
         # intermediate still lives in HBM at half width
         acc = jnp.float32 if self.dtype is not None else in_dtype
-        if adj is not None:
+        if adj is not None or (neigh is not None and m is None):
             pass                                  # agg computed above
         elif neigh is not None:
             agg = jnp.sum((m * nmask[..., None]).astype(acc),

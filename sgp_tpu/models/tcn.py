@@ -8,6 +8,7 @@ XLA lowers these to MXU convolutions with (batch*nodes) as the batch dim.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from sgp_tpu.models.blocks import get_activation
@@ -86,23 +87,29 @@ class Norm(nn.Module):
         if self.kind == "none":
             return x
         if self.kind == "layer":
-            return nn.LayerNorm()(x)
+            # statistics in f32 even under bf16 end-to-end compute
+            return nn.LayerNorm(dtype=jnp.float32)(x).astype(x.dtype)
         if self.kind == "batch":
+            xf = x.astype(jnp.float32)   # f32 stats under bf16 compute
             if time_mask is None:
-                mean = x.mean(axis=tuple(range(x.ndim - 1)), keepdims=True)
-                var = x.var(axis=tuple(range(x.ndim - 1)), keepdims=True)
+                mean = xf.mean(axis=tuple(range(x.ndim - 1)),
+                               keepdims=True)
+                var = xf.var(axis=tuple(range(x.ndim - 1)),
+                             keepdims=True)
             else:
-                w = time_mask.astype(x.dtype).reshape(
+                w = time_mask.astype(jnp.float32).reshape(
                     (1, -1) + (1,) * (x.ndim - 2))
                 axes = tuple(range(x.ndim - 1))
                 cnt = jnp.maximum(
                     w.sum() * (x.size // (x.shape[1] * x.shape[-1])), 1.0)
-                mean = (x * w).sum(axis=axes, keepdims=True) / cnt
-                var = (jnp.square(x - mean) * w).sum(
+                mean = (xf * w).sum(axis=axes, keepdims=True) / cnt
+                var = (jnp.square(xf - mean) * w).sum(
                     axis=axes, keepdims=True) / cnt
             scale = self.param("scale", nn.initializers.ones,
                                (x.shape[-1],))
             bias = self.param("bias", nn.initializers.zeros,
                               (x.shape[-1],))
-            return (x - mean) / jnp.sqrt(var + 1e-5) * scale + bias
+            out = (xf - mean) * jax.lax.rsqrt(var + 1e-5) \
+                * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+            return out.astype(x.dtype)
         raise ValueError(self.kind)

@@ -40,10 +40,57 @@ DCN_LATENCY_S = 50e-6
 CHIPS_PER_HOST = 8
 
 
+def host_boundary_ledger(g: Graph, n_shards: int,
+                         chips_per_host: int = CHIPS_PER_HOST,
+                         order: str = "natural") -> Dict[str, int]:
+    """Boundary sizes of the HIERARCHICAL halo exchange (see
+    ``parallel/halo.py::halo_khop`` two-level path): per contiguous
+    1-D partition of ``n_shards`` shards grouped ``chips_per_host`` per
+    host, returns
+
+    - ``b_intra``: max rows any shard needs from a SAME-host peer
+      (rides ICI in the intra-host ``all_to_all``);
+    - ``b_cross``: max rows any (source shard, remote HOST) pair ships
+      over DCN — the union over the host's shards, i.e. each boundary
+      row crosses DCN ONCE per needing host instead of once per
+      needing chip (the flat ``all_to_all`` additionally pads every
+      one of the S-1 peer slots to the global ``b_max``).
+    """
+    from sgp_tpu.graph.sparse import permute_nodes, rcm_order
+    if order == "rcm":
+        g = permute_nodes(g, rcm_order(g))
+    n, s = g.num_nodes, n_shards
+    nl = -(-n // s)
+    csr = g.to_scipy().tocsr()
+    hosts = -(-s // chips_per_host)
+    b_intra = 0
+    # (source shard j, dest host H) -> union of boundary rows of j that
+    # any shard of H needs — what j ships to H ONCE over DCN
+    need_by_pair: Dict[tuple, set] = {}
+    for i in range(s):
+        rows = csr[i * nl:min((i + 1) * nl, n)].tocsc()
+        hi = i // chips_per_host
+        for j in range(s):
+            if j == i:
+                continue
+            block = rows[:, j * nl:min((j + 1) * nl, n)].tocoo()
+            nz = np.unique(block.col[block.data != 0])
+            if j // chips_per_host == hi:
+                b_intra = max(b_intra, len(nz))
+            else:
+                need_by_pair.setdefault((j, hi), set()).update(
+                    nz.tolist())
+    b_cross = max((len(v) for v in need_by_pair.values()), default=0)
+    return {"b_intra": int(b_intra), "b_cross": int(b_cross),
+            "hosts": hosts}
+
+
 def project_scaling(g: Graph, feat: int,
                     single_chip_edges_per_s: float,
                     n_chips_list=(1, 8, 32), k: int = 1,
-                    itemsize: int = 4) -> Dict[str, dict]:
+                    itemsize: int = None, order: str = "rcm",
+                    payload_dtype: str = "bfloat16",
+                    hierarchical: bool = True) -> Dict[str, dict]:
     """Predictive comm/compute model for node-sharded K-hop propagation
     (VERDICT round-2 item 9): from the halo plan's bytes-per-hop ledger
     plus a MEASURED single-chip SpMM rate, project edges/s and scaling
@@ -51,12 +98,19 @@ def project_scaling(g: Graph, feat: int,
     north star is a falsifiable prediction, not an aspiration.
 
     Per device and hop: compute time = (E/S) / r_single; comm time =
-    send-buffer bytes over the slowest link on the path (ICI within a
-    host, DCN once S spans hosts) plus latency. With overlap (the plan
-    issues the all_to_all alongside the local block matmul) the hop
-    costs max(compute, comm); without overlap, their sum. Efficiency =
-    ideal time / (S * per-hop time), i.e. 1.0 = perfect linear scaling.
-    """
+    send-buffer bytes over the links on the path plus latency. Within
+    one host everything rides ICI. Across hosts (``hierarchical``,
+    matching the shipped two-level exchange): boundary rows cross DCN
+    once per (source shard, needing HOST) — deduplicated and
+    ``b_cross``-padded — then redistribute over ICI; the flat
+    single-level ``all_to_all`` model (``hierarchical=False``, the
+    round-4 ledger) charges all ``S * b_max`` padded rows at DCN
+    bandwidth. ``order='rcm'`` + ``payload_dtype='bfloat16'`` are the
+    shipped plan defaults; the returned rows carry the naive f32/flat
+    ledger next to the effective one so the win is auditable. With
+    overlap (the plan issues the exchange alongside the local block
+    matmul) the hop costs max(compute, comm); without, their sum.
+    Efficiency = ideal time / (S * per-hop time)."""
     from sgp_tpu.parallel.halo import build_halo_spec
 
     edges = g.num_edges * k
@@ -67,16 +121,34 @@ def project_scaling(g: Graph, feat: int,
             out["1"] = {"edges_per_s": single_chip_edges_per_s,
                         "efficiency": 1.0, "comm_bytes_per_hop": 0}
             continue
-        spec = build_halo_spec(g, s)
-        comm_bytes = spec.bytes_per_hop(feat, itemsize)
-        crosses_hosts = s > CHIPS_PER_HOST
-        bw = DCN_BYTES_PER_S if crosses_hosts else ICI_BYTES_PER_S
-        lat = DCN_LATENCY_S if crosses_hosts else ICI_LATENCY_S
+        spec = build_halo_spec(g, s, order=order,
+                               payload_dtype=payload_dtype)
+        per_row = (feat * spec.payload_itemsize()
+                   + (4 if payload_dtype == "int8" else 0)) \
+            if itemsize is None else feat * itemsize
+        flat_bytes = s * spec.b_max * per_row
+        naive_bytes = s * spec.b_max * feat * 4   # r4 ledger: f32+flat
         t_comp = (g.num_edges / s) / single_chip_edges_per_s
-        t_comm = comm_bytes / bw + lat
+        crosses_hosts = s > CHIPS_PER_HOST
+        if not crosses_hosts:
+            comm_bytes = flat_bytes
+            t_comm = comm_bytes / ICI_BYTES_PER_S + ICI_LATENCY_S
+        elif hierarchical:
+            led = host_boundary_ledger(g, s, order=order)
+            c = min(CHIPS_PER_HOST, s)
+            dcn_bytes = (led["hosts"] - 1) * led["b_cross"] * per_row
+            # intra all_to_all + cross-buffer redistribution (ICI)
+            ici_bytes = (c - 1) * led["b_intra"] * per_row \
+                + (c - 1) * (led["hosts"] - 1) * led["b_cross"] * per_row
+            comm_bytes = dcn_bytes + ici_bytes
+            t_comm = (dcn_bytes / DCN_BYTES_PER_S + DCN_LATENCY_S
+                      + ici_bytes / ICI_BYTES_PER_S + ICI_LATENCY_S)
+        else:
+            comm_bytes = flat_bytes
+            t_comm = comm_bytes / DCN_BYTES_PER_S + DCN_LATENCY_S
         t_hop_overlap = max(t_comp, t_comm)
         t_hop_serial = t_comp + t_comm
-        out[str(s)] = {
+        row = {
             "edges_per_s": g.num_edges * k / (k * t_hop_overlap),
             "edges_per_s_no_overlap": g.num_edges * k
                 / (k * t_hop_serial),
@@ -84,9 +156,14 @@ def project_scaling(g: Graph, feat: int,
             "efficiency_no_overlap": (t_single / k)
                 / (s * t_hop_serial),
             "comm_bytes_per_hop": int(comm_bytes),
+            "comm_bytes_per_hop_naive_f32_flat": int(naive_bytes),
             "comm_bound": bool(t_comm > t_comp),
             "boundary_b_max": spec.b_max,
         }
+        if crosses_hosts and hierarchical:
+            row["dcn_bytes_per_hop"] = int(dcn_bytes)
+            row["b_cross_host"] = led["b_cross"]
+        out[str(s)] = row
     return out
 
 

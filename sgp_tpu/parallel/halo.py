@@ -74,10 +74,44 @@ class HaloSpec:
     num_nodes: int            # true N (<= S * Nl; rest is padding)
     b_max: int
     boundary_counts: np.ndarray   # [S, S] true per-pair boundary sizes
+    # wire format of the exchanged boundary rows: 'float32' (exact),
+    # 'bfloat16' (halves DCN/ICI bytes; halo contributions accumulate
+    # in f32), or 'int8' (per-row absmax scales ride along as f32 —
+    # ~4x fewer bytes + 4 bytes/row)
+    payload_dtype: str = "float32"
+    # node permutation the plan was built under (``perm[new] = old``,
+    # e.g. RCM): a cut-minimizing order shrinks b_max — the DCN-bound
+    # term of the 32-chip projection. ``halo_khop`` applies it.
+    perm: np.ndarray = None
+    # two-level (host, chip) exchange plan — see ``build_halo_spec``'s
+    # ``chips_per_host``: (send_intra [S, C, Bi], send_cross
+    # [S, H, Bc], assemble [S, S*B], C, H, b_intra, b_cross)
+    hier: tuple = None
 
-    def bytes_per_hop(self, feat: int, itemsize: int = 4) -> int:
-        """Bytes exchanged per device per hop (send buffer size)."""
-        return self.n_shards * self.b_max * feat * itemsize
+    def dcn_bytes_per_hop(self, feat: int) -> int:
+        """DCN bytes per device per hop under the two-level exchange
+        (0 when no hier plan / single host): each boundary row crosses
+        DCN once per NEEDING HOST, padded to ``b_cross``."""
+        if self.hier is None:
+            return 0
+        _, _, _, c, h, bi, bc = self.hier
+        per_row = feat * self.payload_itemsize() + (
+            4 if self.payload_dtype == "int8" else 0)
+        return int((h - 1) * bc * per_row)
+
+    def payload_itemsize(self) -> float:
+        return {"float32": 4, "bfloat16": 2, "int8": 1}[
+            self.payload_dtype]
+
+    def bytes_per_hop(self, feat: int, itemsize: int = None) -> int:
+        """Bytes exchanged per device per hop (send buffer size).
+        ``itemsize`` defaults to the plan's payload dtype; int8 adds
+        the per-row f32 scale."""
+        if itemsize is None:
+            itemsize = self.payload_itemsize()
+        per_row = feat * itemsize + (4 if self.payload_dtype == "int8"
+                                     and itemsize == 1 else 0)
+        return int(self.n_shards * self.b_max * per_row)
 
     def dense_gather_bytes(self, feat: int, itemsize: int = 4) -> int:
         """What the full-all-gather alternative would move per hop."""
@@ -92,13 +126,49 @@ class HaloSpec:
 
 
 def build_halo_spec(g: Graph, n_shards: int, dtype=jnp.float32,
-                    mode: str = "auto") -> HaloSpec:
+                    mode: str = "auto", order: str = "natural",
+                    payload_dtype: str = "float32",
+                    chips_per_host: int = None) -> HaloSpec:
     """Partition ``g``'s nodes into ``n_shards`` contiguous blocks and
-    precompute the boundary-exchange plan. Reorder the graph first
-    (e.g. RCM) to localize the boundary; the partition itself is plain
-    contiguous blocks of the given node order."""
+    precompute the boundary-exchange plan.
+
+    ``order='rcm'`` reorders the nodes with reverse-Cuthill-McKee
+    BEFORE partitioning (an explicit permutation array also works):
+    contiguous blocks of a bandwidth-minimizing order have far smaller
+    boundary sets, directly shrinking ``b_max`` and the bytes-per-hop
+    ledger. ``halo_khop`` applies/undoes the stored permutation, so
+    callers keep natural node order at the boundary.
+
+    ``payload_dtype``: wire format of the exchanged rows —
+    ``'bfloat16'`` halves the comm bytes (f32 accumulation unchanged),
+    ``'int8'`` quantizes each boundary row with a per-row absmax scale
+    (sent alongside as f32).
+
+    ``chips_per_host`` (C, with ``n_shards = H * C`` spanning H > 1
+    hosts): additionally build the TWO-LEVEL exchange plan that keeps
+    collectives on ICI and dedups DCN traffic — boundary rows exchange
+    intra-host with an ``all_to_all`` over the ``chip`` mesh axis,
+    while each shard ships each remote HOST the union of rows any of
+    its chips needs (ONE DCN crossing per needing host instead of one
+    per needing chip, and padded to the cross-host max instead of the
+    global ``b_max``); the received per-host buffers redistribute over
+    ICI (``all_gather``) and a precomputed index map reassembles the
+    flat recv layout. Use with ``halo_khop(..., axes=('host',
+    'chip'))`` on a 2-D mesh whose device raveling matches
+    ``shard = host * C + chip``."""
     n = g.num_nodes
     s = n_shards
+    perm = None
+    if isinstance(order, np.ndarray):
+        perm = order
+    elif order == "rcm":
+        from sgp_tpu.graph.sparse import rcm_order
+        perm = rcm_order(g)
+    elif order != "natural":
+        raise ValueError(f"unknown node order {order!r}")
+    if perm is not None:
+        from sgp_tpu.graph.sparse import permute_nodes
+        g = permute_nodes(g, perm)
     nl = -(-n // s)                 # ceil
     if mode == "auto":
         # dense diagonal blocks are the MXU-fastest up to a few k nodes
@@ -153,8 +223,67 @@ def build_halo_spec(g: Graph, n_shards: int, dtype=jnp.float32,
                   for a in local)
     halo = tuple(jnp.asarray(a, dtype if a.dtype == np.float32 else None)
                  for a in halo)
+    hier = None
+    if chips_per_host is not None and s > chips_per_host:
+        if s % chips_per_host:
+            raise ValueError(
+                f"n_shards ({s}) must be a multiple of chips_per_host "
+                f"({chips_per_host}) for the two-level exchange")
+        hier = _build_hier(need, s, b_max, chips_per_host)
     return HaloSpec(mode, local, halo, jnp.asarray(send_idx), s, nl, n,
-                    b_max, counts)
+                    b_max, counts, payload_dtype, perm, hier)
+
+
+def _build_hier(need, s, b_max, chips_per_host):
+    """Two-level exchange plan from the per-pair boundary sets.
+
+    Layout contract (see ``_hier_halo_hop``): the device-local recv
+    buffer is ``concat([recv_intra [C, Bi], allcross [C, H, Bc]])``
+    flattened along rows; ``assemble[i]`` maps every slot of the flat
+    ``[S * b_max]`` recv layout (what ``_apply_halo``'s COO columns
+    index) to its row in that buffer. Padding slots map to row 0 —
+    harmless, the halo entries never reference them."""
+    c_per = chips_per_host
+    h_num = s // c_per
+    # intra-host max per-pair boundary; cross: union per (src, host)
+    b_intra = 1
+    union = {}
+    for i in range(s):
+        hi = i // c_per
+        for j in range(s):
+            if j == i or need[i][j] is None:
+                continue
+            nz = need[i][j]
+            if j // c_per == hi:
+                b_intra = max(b_intra, len(nz))
+            else:
+                key = (j, hi)
+                union[key] = np.union1d(union[key], nz) \
+                    if key in union else np.asarray(nz)
+    b_cross = max([1] + [len(v) for v in union.values()])
+    send_intra = np.zeros((s, c_per, b_intra), np.int32)
+    send_cross = np.zeros((s, h_num, b_cross), np.int32)
+    assemble = np.zeros((s, s * b_max), np.int32)
+    for (j, h), u in union.items():
+        send_cross[j, h, :len(u)] = u
+    for i in range(s):
+        hi, ci = divmod(i, c_per)
+        for j in range(s):
+            if j == i or need[i][j] is None:
+                continue
+            nz = need[i][j]
+            hj, cj = divmod(j, c_per)
+            if hj == hi:
+                # shard j ships chip ci of its host these rows directly
+                send_intra[j, ci, :len(nz)] = nz
+                pos = cj * b_intra + np.arange(len(nz))
+            else:
+                u = union[(j, hi)]
+                pos = c_per * b_intra + (cj * h_num + hj) * b_cross \
+                    + np.searchsorted(u, nz)
+            assemble[i, j * b_max:j * b_max + len(nz)] = pos
+    return (jnp.asarray(send_intra), jnp.asarray(send_cross),
+            jnp.asarray(assemble), c_per, h_num, b_intra, b_cross)
 
 
 def _pack_blocks(mode, row_blocks, halo_coo, s, nl, n, b_max):
@@ -270,14 +399,36 @@ def _apply_halo(mode: str, halo, x_halo, nl: int):
     return jnp.moveaxis(y, 0, -2).astype(x_halo.dtype)
 
 
-def _halo_hop(mode, x_local, local, halo, send_idx, axis: str):
+def _exchange(send, axis, payload: str):
+    """``all_to_all`` of ``[..., S, B, F]`` boundary rows in the wire
+    dtype. bf16 halves the bytes on the link (the halo matmul still
+    accumulates f32); int8 sends per-row absmax-quantized rows plus a
+    small f32 scale sidecar (~4x fewer bytes for F≫4). Dequantized
+    values come back in the compute dtype."""
+    sa = send.ndim - 3
+    if payload == "bfloat16":
+        recv = jax.lax.all_to_all(send.astype(jnp.bfloat16), axis,
+                                  split_axis=sa, concat_axis=sa)
+        return recv.astype(send.dtype)
+    if payload == "int8":
+        scale = jnp.max(jnp.abs(send), axis=-1, keepdims=True)
+        scale = jnp.maximum(scale, 1e-30)   # subnormals flush to 0
+        q = jnp.round(send / scale * 127.0).astype(jnp.int8)
+        rq = jax.lax.all_to_all(q, axis, split_axis=sa, concat_axis=sa)
+        rs = jax.lax.all_to_all(scale.astype(jnp.float32), axis,
+                                split_axis=sa, concat_axis=sa)
+        return (rq.astype(jnp.float32) * (rs / 127.0)).astype(send.dtype)
+    return jax.lax.all_to_all(send, axis, split_axis=sa, concat_axis=sa)
+
+
+def _halo_hop(mode, x_local, local, halo, send_idx, axis: str,
+              payload: str = "float32"):
     """One hop on a device's local shard. ``x_local [..., Nl, F]``."""
     s, b = send_idx.shape
     # gather the rows each peer needs: [..., S, B, F]
     send = jnp.take(x_local, send_idx.reshape(-1), axis=-2)
     send = send.reshape(x_local.shape[:-2] + (s, b, x_local.shape[-1]))
-    recv = jax.lax.all_to_all(send, axis, split_axis=send.ndim - 3,
-                              concat_axis=send.ndim - 3)
+    recv = _exchange(send, axis, payload)
     x_halo = recv.reshape(x_local.shape[:-2] + (s * b,
                                                 x_local.shape[-1]))
     # local block matmul (overlaps the collective under XLA scheduling)
@@ -285,8 +436,37 @@ def _halo_hop(mode, x_local, local, halo, send_idx, axis: str):
     return out + _apply_halo(mode, halo, x_halo, x_local.shape[-2])
 
 
+def _hier_halo_hop(mode, x_local, local, halo, hier_arrays, meta,
+                   axes, payload: str):
+    """One hop with the TWO-LEVEL exchange (``axes = (host, chip)``):
+    intra-host boundary rows ride an ICI ``all_to_all``; cross-host
+    rows ship ONCE per needing host over DCN (union-deduplicated,
+    ``b_cross``-padded), then redistribute over an ICI ``all_gather``;
+    a precomputed index map rebuilds the flat recv layout for the
+    unchanged ``_apply_halo``."""
+    send_intra_idx, send_cross_idx, assemble_idx = hier_arrays
+    c_per, h_num, b_intra, b_cross = meta
+    host_ax, chip_ax = axes
+    lead = x_local.shape[:-2]
+    f = x_local.shape[-1]
+    si = jnp.take(x_local, send_intra_idx.reshape(-1), axis=-2)
+    si = si.reshape(lead + (c_per, b_intra, f))
+    recv_i = _exchange(si, chip_ax, payload)         # [.., C, Bi, F]
+    sc = jnp.take(x_local, send_cross_idx.reshape(-1), axis=-2)
+    sc = sc.reshape(lead + (h_num, b_cross, f))
+    recv_c = _exchange(sc, host_ax, payload)         # [.., H, Bc, F]
+    allc = jax.lax.all_gather(recv_c, chip_ax, axis=len(lead),
+                              tiled=False)           # [.., C, H, Bc, F]
+    buf = jnp.concatenate(
+        [recv_i.reshape(lead + (c_per * b_intra, f)),
+         allc.reshape(lead + (c_per * h_num * b_cross, f))], axis=-2)
+    x_halo = jnp.take(buf, assemble_idx, axis=-2)    # [.., S*B, F]
+    out = _apply_local(mode, local, x_local)
+    return out + _apply_halo(mode, halo, x_halo, x_local.shape[-2])
+
+
 def halo_khop(spec: HaloSpec, x: jnp.ndarray, mesh: Mesh, k: int = 1,
-              axis: str = "model", concat: bool = False) -> jnp.ndarray:
+              axis="model", concat: bool = False) -> jnp.ndarray:
     """K-hop propagation of node-sharded ``x [..., N, F]`` using
     boundary-only exchange. Returns the k-th hop (or the
     ``[x, Ax, ..., A^k x]`` concat when ``concat=True``), node-sharded.
@@ -294,43 +474,78 @@ def halo_khop(spec: HaloSpec, x: jnp.ndarray, mesh: Mesh, k: int = 1,
     Pads the node dim to ``S * Nl`` if needed (pad rows of ``A`` are
     zero, so padded outputs are zero and sliced off)."""
     n = spec.num_nodes
+    permute_here = spec.perm is not None and x.shape[-2] == n
+    if permute_here:
+        # the plan was built under a reordering (e.g. RCM): permute in,
+        # un-permute out — one [N, F] gather each way per CALL (not per
+        # hop), amortized over the k hops. Callers passing pre-padded
+        # (already plan-ordered) inputs skip this.
+        x = jnp.take(x, jnp.asarray(spec.perm), axis=-2)
     n_pad = spec.n_shards * spec.nodes_per_shard
     padded_here = x.shape[-2] == n and n_pad != n
     if padded_here:
         pad = [(0, 0)] * (x.ndim - 2) + [(0, n_pad - n), (0, 0)]
         x = jnp.pad(x, pad)
+    hierarchical = isinstance(axis, (tuple, list)) and len(axis) == 2
+    if hierarchical:
+        axis = tuple(axis)
     node_spec = P(*([None] * (x.ndim - 2)), axis, None)
     mode = spec.mode
+    payload = spec.payload_dtype
+    if hierarchical and spec.hier is None:
+        raise ValueError(
+            "axes=(host, chip) needs a plan built with chips_per_host "
+            "(build_halo_spec(..., chips_per_host=C))")
+    hier_arrays = spec.hier[:3] if hierarchical else ()
+    hier_meta = spec.hier[3:] if hierarchical else None
 
-    def local_fn(local, halo, send_idx, x_local):
+    def local_fn(local, halo, send_idx, hier_arr, x_local):
         local = tuple(a[0] for a in local)
         halo = tuple(a[0] for a in halo)
         send_idx = send_idx[0]
+        hier_arr = tuple(a[0] for a in hier_arr)
         outs = [x_local]
         for _ in range(k):
-            outs.append(_halo_hop(mode, outs[-1], local, halo, send_idx,
-                                  axis))
+            if hierarchical:
+                outs.append(_hier_halo_hop(
+                    mode, outs[-1], local, halo, hier_arr, hier_meta,
+                    tuple(axis), payload))
+            else:
+                outs.append(_halo_hop(mode, outs[-1], local, halo,
+                                      send_idx, axis, payload))
         if concat:
             return jnp.concatenate(outs, -1)
         return outs[-1]
 
+    shard_p = P(tuple(axis)) if hierarchical else P(axis)
     fn = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(tuple(P(axis) for _ in spec.local),
-                  tuple(P(axis) for _ in spec.halo),
-                  P(axis), node_spec),
+        in_specs=(tuple(shard_p for _ in spec.local),
+                  tuple(shard_p for _ in spec.halo),
+                  shard_p, tuple(shard_p for _ in hier_arrays),
+                  node_spec),
         out_specs=node_spec, check_vma=False)
-    out = fn(spec.local, spec.halo, spec.send_idx, x)
+    out = fn(spec.local, spec.halo, spec.send_idx, hier_arrays, x)
     if padded_here:
         out = out[..., :n, :]
+    if permute_here:
+        inv = np.empty_like(spec.perm)
+        inv[spec.perm] = np.arange(len(spec.perm))
+        out = jnp.take(out, jnp.asarray(inv), axis=-2)
     return out
 
 
-def shard_nodes(x: jnp.ndarray, mesh: Mesh, axis: str = "data",
+def shard_nodes(x: jnp.ndarray, mesh: Mesh, axis="data",
                 node_axis: int = -2) -> jnp.ndarray:
     """Place ``x`` on the mesh sharded along its node axis (pads the
-    node dim to a multiple of the axis size if needed)."""
-    size = mesh.shape[axis]
+    node dim to a multiple of the axis size if needed). ``axis`` may
+    be a tuple of mesh axes (e.g. ``('host', 'chip')`` for the
+    two-level halo exchange)."""
+    if isinstance(axis, (tuple, list)):
+        axis = tuple(axis)
+        size = int(np.prod([mesh.shape[a] for a in axis]))
+    else:
+        size = mesh.shape[axis]
     nd = node_axis % x.ndim
     n = x.shape[nd]
     n_pad = -(-n // size) * size

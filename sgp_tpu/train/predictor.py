@@ -56,7 +56,8 @@ class Predictor:
                  batch_to_call: Optional[Callable] = None,
                  seed: int = 0,
                  mesh=None,
-                 static_batch: Optional[dict] = None):
+                 static_batch: Optional[dict] = None,
+                 compute_dtype: Optional[str] = None):
         """``mesh``: a ``jax.sharding.Mesh`` with a ``data`` axis turns
         every loader-based step data-parallel — batches are sharded
         along the sample dim, params/optimizer replicated, and XLA's
@@ -72,9 +73,19 @@ class Predictor:
         embeds them as HLO constants — at Table-2 scale that stalls
         XLA constant folding for minutes and overflows the remote
         compile service's request limit (measured HTTP 413, CLAUDE.md
-        round-4 notes). Keys already present in a batch win."""
+        round-4 notes). Keys already present in a batch win.
+
+        ``compute_dtype`` (e.g. ``'bfloat16'``): mixed-precision steps
+        — f32 master params/optimizer, but the forward/backward runs
+        with params AND float batch inputs cast to this dtype (the
+        cast's gradient accumulates f32 at the boundary). Halves the
+        HBM traffic of bandwidth-bound stacks; loss/metrics stay f32
+        and norm layers keep f32 statistics internally
+        (``models/tcn.py::Norm``)."""
         self.model = model
         self.mesh = mesh
+        self.compute_dtype = (None if compute_dtype is None
+                              else jnp.dtype(compute_dtype))
         self.static_batch = {
             k: jax.tree.map(jnp.asarray, v)
             for k, v in (static_batch or {}).items()}
@@ -137,11 +148,25 @@ class Predictor:
 
     def _build_steps(self, scaler: ScalerParams):
         model, to_call = self.model, self.batch_to_call
+        cdt = self.compute_dtype
+
+        def cast(tree):
+            return jax.tree.map(
+                lambda a: a.astype(cdt)
+                if getattr(a, "dtype", None) == jnp.float32 else a, tree)
 
         def fwd(model, params, batch, training, rng):
             args, kwargs = to_call(batch, training)
             rngs = {"dropout": rng} if training else {}
-            return model.apply(params, *args, rngs=rngs, **kwargs)
+            if cdt is not None:
+                # mixed precision: bf16 fwd/bwd, f32 master params.
+                # The cast's VJP upcasts grads to f32 at the boundary.
+                params, args, kwargs = (cast(params), cast(args),
+                                        cast(kwargs))
+            out = model.apply(params, *args, rngs=rngs, **kwargs)
+            if cdt is not None:
+                out = out.astype(jnp.float32)
+            return out
         loss_fn_pt = _METRIC_FNS[self.loss_kind]
         scale_target = self.scale_target
         metrics = self.metrics

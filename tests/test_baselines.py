@@ -12,6 +12,8 @@ from sgp_tpu.models.graph_layers import (DiffConv, GatedGraphNetwork,
                                          diff_conv_support)
 from sgp_tpu.models.gwnet import GraphWaveNetModel
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture
 def graph(rng):

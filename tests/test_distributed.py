@@ -9,6 +9,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 WORKER = r"""
 import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"

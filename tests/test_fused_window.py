@@ -9,6 +9,9 @@ from sgp_tpu.data.sgp_loader import build_support_operators
 from sgp_tpu.graph import Graph, coalesce
 from sgp_tpu.models import SGPModel
 from sgp_tpu.train.fused_window import make_fused_window_step
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_fused_window_learns(rng):

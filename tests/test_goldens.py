@@ -8,6 +8,8 @@ import pytest
 
 from sgp_tpu.exp.common import Experiment
 
+pytestmark = pytest.mark.slow
+
 SGP_ARGS = ["--dataset-name", "synthetic", "--synthetic-nodes", "16",
             "--synthetic-steps", "400", "--epochs", "6",
             "--batches-epoch", "8", "--reservoir-size", "8",

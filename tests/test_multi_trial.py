@@ -18,6 +18,8 @@ from sgp_tpu.train.multi_trial import (best_trial, eval_trials,
                                        take_trial)
 from sgp_tpu.train.metrics import MaskedMetrics
 
+pytestmark = pytest.mark.slow
+
 
 def _setup(rng, t=60, n=10, d=6, h=2):
     encoded = jnp.asarray(rng.standard_normal((t, n, d)).astype(np.float32))

@@ -11,8 +11,9 @@ from sgp_tpu.ops import build_operator
 from sgp_tpu.parallel import (make_mesh, shard_batch, shard_operator,
                               shard_params_tp, sharded_ridge, sharded_spmm)
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 virtual devices")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(len(jax.devices()) < 8,
+                                 reason="needs 8 virtual devices")]
 
 
 def graph(rng, n=32):

@@ -5,6 +5,9 @@ fused test eval)."""
 import numpy as np
 
 from sgp_tpu.exp.common import Experiment
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _run(run_experiment, configure_parser, argv):

@@ -10,6 +10,8 @@ from sgp_tpu.obs.scaling import propagation_scaling
 from sgp_tpu.exp.hyperopt import grid_trials, random_trials, run_search
 from sgp_tpu.obs.run_logger import RunLogger
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_propagation_scaling_runs(rng):

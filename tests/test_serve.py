@@ -10,6 +10,9 @@ from sgp_tpu.encode import SGPEncoder
 from sgp_tpu.graph import Graph, coalesce
 from sgp_tpu.models import SGPModel
 from sgp_tpu.serve import OnlineForecaster
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _setup(rng, n=14, t=24, f=1):

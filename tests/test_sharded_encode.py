@@ -12,8 +12,9 @@ from sgp_tpu.graph import Graph, coalesce
 from sgp_tpu.parallel import make_mesh
 from sgp_tpu.parallel.encode import encode_series_sharded, sharded_ridge_nodes
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 virtual devices")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(len(jax.devices()) < 8,
+                                 reason="needs 8 virtual devices")]
 
 
 def make_graph(rng, n):

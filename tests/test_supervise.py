@@ -8,8 +8,11 @@ import sys
 import time
 
 import numpy as np
+import pytest
 
 from sgp_tpu.exp.supervise import _with_resume, supervise
+
+pytestmark = pytest.mark.slow
 
 RUNNER_WORKER = r"""
 import os, sys, json
