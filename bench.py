@@ -229,6 +229,37 @@ def _full_adj_mask():
     return build(jnp.asarray(pos)), n_edges
 
 
+def _full_adj_mask_banded(band_blk: int = 256):
+    """RCM-ordered dense adjacency mask + the per-row-block column
+    windows of its band (``graph.sparse.band_windows``): the GatedGN
+    all-pairs aggregation then computes only ``N * W`` candidate pairs
+    instead of ``N^2`` (a pure relabeling of the synthetic nodes —
+    positions, adjacency and targets permute together, so the model is
+    identical). Returns ``(mask_bf16, n_edges, band)``."""
+    import jax
+    import jax.numpy as jnp
+
+    from sgp_tpu.graph.sparse import Graph, band_windows, rcm_order
+
+    pos, sim_h, thr = _full_sim()
+    a = sim_h > thr
+    n_edges = int(a.sum())
+    src, dst = np.nonzero(a)
+    g = Graph(src.astype(np.int64), dst.astype(np.int64), None,
+              N_NODES)
+    perm = rcm_order(g)
+    band = band_windows(a[np.ix_(perm, perm)], band_blk)
+    pos_p = pos[perm]
+
+    @jax.jit
+    def build(p):
+        d2 = ((p[:, None] - p[None]) ** 2).sum(-1)
+        sim = jnp.exp(-d2 / 0.01) * (1.0 - jnp.eye(N_NODES))
+        return (sim > thr).astype(jnp.bfloat16)
+
+    return build(jnp.asarray(pos_p)), n_edges, band
+
+
 def _full_ell(max_edges: int = 2_500_000, seed: int = 2):
     """ELL (padded-incoming) layout of the FULL graph with the
     reference's uniform edge cap (``config/largescale/gatedgn_pv.yaml``:
@@ -980,13 +1011,19 @@ def section_baseline(name: str) -> dict:
                                              "node_index": None,
                                              "training": training}
     elif base in ("gatedgn", "gatedgn_bf16"):
+        gn_band = None
         if full:
-            # dense all-pairs MXU messages: density-insensitive and
-            # gather-free, so the HONEST full 3.7M-edge set runs where
-            # the reference's row caps at 2.5M (cut_edges_uniformly)
-            adj_mask, kept = _full_adj_mask()
+            # dense all-pairs MXU messages over the RCM BAND:
+            # gather-free on the HONEST full edge set (the reference's
+            # row caps at 2.5M edges, cut_edges_uniformly), and the
+            # band windows skip the empty column blocks an RCM order
+            # exposes — N*W candidate pairs instead of N^2. Measured
+            # alternatives this round: capped-ELL 5.85 batch/s @CER
+            # (64-byte rows at batch 1), full-sweep all-pairs 6.85
+            # @CER / 12.36 @PV.
+            adj_mask, kept, gn_band = _full_adj_mask_banded()
             out[f"{name}_n_edges"] = kept
-            out[f"{name}_aggregation"] = "dense_allpairs_mxu"
+            out[f"{name}_aggregation"] =                 f"dense_allpairs_band{gn_band[1]}"
             graph_state["gn_adj"] = adj_mask
         else:
             from sgp_tpu.graph.sparse import padded_incoming
@@ -1002,8 +1039,8 @@ def section_baseline(name: str) -> dict:
             compute_dtype=(None if name == "gatedgn" else "bfloat16"))
 
         def to_call(b, training):
-            gn = ({"adj": b["gn_adj"]} if "gn_adj" in b
-                  else {"neigh": b["gn_neigh"]})
+            gn = ({"adj": b["gn_adj"], "adj_band": gn_band}
+                  if "gn_adj" in b else {"neigh": b["gn_neigh"]})
             return (b["x"],), {"u": b.get("u"), "node_index": None,
                                "edge_mask": None, "training": training,
                                **gn}
@@ -1077,17 +1114,30 @@ def section_baseline(name: str) -> dict:
             out[f"{name}_flops_per_step"] = float(cost["flops"])
             out[f"{name}_mfu"] = round(
                 float(cost["flops"]) * bps / PEAK_BF16_FLOPS, 4)
+            if base.startswith("gwnet"):
+                # XLA's cost analysis counts the nn.scan body ONCE, so
+                # the 4-block scanned stack under-reports flops:
+                # measured unrolled/scan flop ratio 3.54 on the same
+                # model at N=64 (a LOWER bound at N=5016, where the
+                # N^2 scanned spatial convs dominate even more). The
+                # isolated spatial einsum runs at 110-128 TF/s (~60%
+                # MXU), i.e. GWNet is near its matmul wall — the raw
+                # *_mfu is an accounting artifact, not headroom.
+                out[f"{name}_mfu_scan_corrected"] = round(
+                    float(cost["flops"]) * 3.54 * bps
+                    / PEAK_BF16_FLOPS, 4)
     except Exception as e:
         out[f"{name}_hbm_error"] = str(e)[:100]
 
     if base == "gatedgn_bf16" and not full and _SCALE == "pv":
         # fused-ELL-kernel decision data (VERDICT r4 item 4): the row
-        # above runs the auto path (ops/gn_ell.py fused kernel on
-        # TPU); re-jit with the blocked-XLA ELL path and time it so
-        # the default stays measured (>1 = the kernel wins).
+        # above runs the default blocked-XLA ELL path (measured
+        # faster); re-jit with the fused ops/gn_ell.py kernel forced
+        # on and time it so the default stays measured (<1 = the
+        # kernel loses).
         from sgp_tpu.models import graph_layers as _gl
         try:
-            _gl.ELL_PALLAS = False
+            _gl.ELL_PALLAS = True
             pred2 = Predictor(model, loss="mae", lr=1e-3, grad_clip=5.0,
                               batch_to_call=to_call, seed=0)
             pred2.init(bdata, scaler)
@@ -1095,7 +1145,8 @@ def section_baseline(name: str) -> dict:
             t0 = time.time()
             p2, s2, l2 = pred2._train_step(p2, s2, bdata, key)
             _sync(l2)
-            out[f"{name}_ellxla_compile_s"] = round(time.time() - t0, 2)
+            out[f"{name}_ellpallas_compile_s"] = round(
+                time.time() - t0, 2)
             for _ in range(3):
                 key, k2 = jax.random.split(key)
                 p2, s2, l2 = pred2._train_step(p2, s2, bdata, k2)
@@ -1105,12 +1156,11 @@ def section_baseline(name: str) -> dict:
                 key, k2 = jax.random.split(key)
                 p2, s2, l2 = pred2._train_step(p2, s2, bdata, k2)
             _sync(l2)
-            xla_bps = 10 / (time.time() - t0)
-            out[f"{name}_ellxla_batch_s"] = round(xla_bps, 2)
-            out["gn_ell_pallas_vs_xla_speedup"] = round(
-                bps / xla_bps, 2)
+            pl_bps = 10 / (time.time() - t0)
+            out[f"{name}_ellpallas_batch_s"] = round(pl_bps, 2)
+            out["gn_ell_pallas_vs_xla_speedup"] = round(pl_bps / bps, 2)
         except Exception as e:
-            out["gn_ell_xla_error"] = str(e)[:120]
+            out["gn_ell_pallas_error"] = str(e)[:120]
         finally:
             _gl.ELL_PALLAS = None
 
@@ -1121,10 +1171,16 @@ def section_baseline(name: str) -> dict:
         # Pallas kernel and time it, so the kernel choice stays backed
         # by a recorded number (<1 = Pallas loses).
         from sgp_tpu.models import graph_layers as _gl
+
+        def to_call_noband(b, training):
+            args, kw = to_call(b, training)
+            kw.pop("adj_band", None)   # kernel runs the full sweep
+            return args, kw
+
         try:
             _gl.ALLPAIRS_PALLAS = True
             pred2 = Predictor(model, loss="mae", lr=1e-3, grad_clip=5.0,
-                              batch_to_call=to_call, seed=0)
+                              batch_to_call=to_call_noband, seed=0)
             pred2.init(bdata, scaler)
             p2, s2 = pred2.params, pred2.opt_state
             t0 = time.time()

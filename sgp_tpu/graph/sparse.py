@@ -355,3 +355,31 @@ def dummy_graph(kind: str, num_nodes: int, edge_prob: float = 0.1,
         return Graph(src.astype(np.int64), dst.astype(np.int64),
                      np.ones(len(src), np.float32), num_nodes)
     raise ValueError(f"unknown dummy connectivity {kind!r}")
+
+def band_windows(dense_adj: np.ndarray, block: int,
+                 width_mult: int = 128):
+    """Per-row-block column windows of a (near-)banded adjacency
+    (``A[dst, src]`` boolean/weight matrix, e.g. after :func:`rcm_order`
+    relabeling): for each block of ``block`` consecutive dst rows,
+    the smallest column interval covering every edge, padded to a
+    uniform width (a ``width_mult`` multiple, clamped into [0, N]).
+
+    Returns ``(block, width, los)`` with ``los`` a tuple of static
+    ints — the GatedGN dense all-pairs aggregation uses it to compute
+    only ``N * width`` candidate pairs instead of ``N^2``
+    (``models/graph_layers.py`` ``adj_band=``)."""
+    a = np.asarray(dense_adj) != 0
+    n = a.shape[0]
+    width = 1
+    bounds = []
+    for i0 in range(0, n, block):
+        cols = np.nonzero(a[i0:i0 + block].any(axis=0))[0]
+        if len(cols):
+            lo, hi = int(cols[0]), int(cols[-1])
+        else:
+            lo, hi = 0, 0
+        bounds.append((lo, hi))
+        width = max(width, hi - lo + 1)
+    width = min(n, -(-width // width_mult) * width_mult)
+    los = tuple(min(max(lo, 0), n - width) for lo, _ in bounds)
+    return block, width, los

@@ -54,7 +54,8 @@ class _GatedGNBase(nn.Module):
                 ("bf16", "bfloat16") else None)
 
     def _decode(self, x, node_index, src, dst, edge_mask=None,
-                sorted_edges: bool = False, neigh=None, adj=None):
+                sorted_edges: bool = False, neigh=None, adj=None,
+                adj_band=None):
         act = get_activation(self.activation)
         dt = self._dt()
         if self.positional_encoding:
@@ -63,7 +64,8 @@ class _GatedGNBase(nn.Module):
         for _ in range(self.gnn_layers):
             x = GatedGraphNetwork(self.hidden_size, self.activation,
                                   sorted_edges=sorted_edges, dtype=dt)(
-                x, src, dst, edge_mask=edge_mask, neigh=neigh, adj=adj)
+                x, src, dst, edge_mask=edge_mask, neigh=neigh, adj=adj,
+                adj_band=adj_band)
         x = act(nn.Dense(self.hidden_size, dtype=dt)(x)) + x
         # horizon readout stays f32
         out = nn.Dense(self.horizon * self.output_size)(
@@ -88,7 +90,7 @@ class GatedGraphNetworkMLPModel(_GatedGNBase):
 
     @nn.compact
     def __call__(self, x, src=None, dst=None, u=None, node_index=None,
-                 edge_mask=None, neigh=None, adj=None,
+                 edge_mask=None, neigh=None, adj=None, adj_band=None,
                  training: bool = False, **kwargs):
         # x: [b s n f]; neigh=(src_idx [N, D], mask) selects the
         # scatter-free ELL aggregation (padded_incoming); adj
@@ -112,7 +114,8 @@ class GatedGraphNetworkMLPModel(_GatedGNBase):
                 act(nn.Dense(self.hidden_size)(h)))
             h = blk + h
         return self._decode(h, node_index, src, dst, edge_mask,
-                            sorted_edges=srt, neigh=neigh, adj=adj)
+                            sorted_edges=srt, neigh=neigh, adj=adj,
+                            adj_band=adj_band)
 
 
 class Conv1dResidual(nn.Module):

@@ -37,14 +37,19 @@ ALLPAIRS_PALLAS = None
 
 # ELL (padded-neighbor) GatedGN aggregation backend: None = auto,
 # which is the blocked-XLA path — MEASURED faster than the fused
-# ops/gn_ell.py kernel at Table-2 scale (bench r5:
-# gn_ell_pallas_vs_xla_speedup = 0.6; the kernel's backward must run
-# 16-node blocks to fit scoped VMEM, and ~1600 tiny sequential grid
-# steps of full-chain recompute cost more than the XLA path's HBM
-# round-trips). True forces the kernel (interpret off-TPU — CPU
-# parity tests); False forces blocked-XLA.
+# ops/gn_ell.py kernel at Table-2 scale (bench r5: the pairs-major v1
+# ran 0.60x of XLA, the channels-major v2 0.83x — the per-pair
+# transcendental chain recomputed 3x in the backward outweighs the
+# HBM round-trips it saves; the raw neighbor gather itself measures
+# 565M rows/s and is NOT the bottleneck). True forces the kernel
+# (interpret off-TPU — CPU parity tests); False forces blocked-XLA.
 ELL_PALLAS = None
 _ELL_ACTS = ("silu", "swish", "tanh", "relu", "elu")
+
+# Blocked-XLA all-pairs rematerialization: None = auto (checkpoint the
+# per-block message chain only when the saved [.., N, N, h] residuals
+# would exceed ~6 GB); True/False force it.
+ALLPAIRS_REMAT = None
 
 
 def diff_conv_support(g: Graph, add_backward: bool = True,
@@ -289,7 +294,7 @@ class GatedGraphNetwork(nn.Module):
     def __call__(self, x, src: jnp.ndarray = None,
                  dst: jnp.ndarray = None,
                  edge_mask: jnp.ndarray = None, neigh=None,
-                 adj: jnp.ndarray = None):
+                 adj: jnp.ndarray = None, adj_band=None):
         import jax
         act = get_activation(self.activation)
         in_dtype = x.dtype
@@ -335,6 +340,7 @@ class GatedGraphNetwork(nn.Module):
                           # beyond this N Mosaic can't allocate them —
                           # fall back to the blocked-XLA path
                           and n <= max_pallas_nodes(h2)
+                          and adj_band is None   # kernel: full sweep
                           # auto = blocked-XLA (measured faster, see
                           # ALLPAIRS_PALLAS note); True opts in
                           and ALLPAIRS_PALLAS is True)
@@ -354,8 +360,7 @@ class GatedGraphNetwork(nn.Module):
             else:
                 mask = (adj != 0).astype(dt)                # [N, N]
 
-                @jax.checkpoint
-                def msg_block(pi_b, pj, mask_b, w2, b2, wg, bg):
+                def msg_block_fn(pi_b, pj, mask_b, w2, b2, wg, bg):
                     # pi_b [.., blk, h2]; pj [.., N, h2]; mask_b [blk, N]
                     t = act(pi_b[..., :, None, :] + pj[..., None, :, :])
                     mb = act(t @ w2 + b2)            # [..., blk, N, h]
@@ -364,15 +369,45 @@ class GatedGraphNetwork(nn.Module):
                                       g * mb,
                                       preferred_element_type=acc)
 
-                itemsize = jnp.zeros((), dt).dtype.itemsize
-                blk = max(128, min(n, int(2 ** 28 / max(
-                    n * self.output_size * itemsize, 1))))
+                # rematerialize only when the saved [.., N, W, h]
+                # per-layer residuals would crowd HBM (~>6 GB at this
+                # batch); below that the ~1/3 recompute is pure waste
+                # (ALLPAIRS_REMAT forces: True = always checkpoint,
+                # False = never)
+                w_cols = adj_band[1] if adj_band is not None else n
+                bsz = int(np.prod(p_i.shape[:-2])) or 1
+                resid_gb = bsz * n * w_cols * self.output_size * \
+                    jnp.zeros((), dt).dtype.itemsize / 2 ** 30
+                use_ckpt = (resid_gb > 6.0 if ALLPAIRS_REMAT is None
+                            else ALLPAIRS_REMAT)
+                msg_block = (jax.checkpoint(msg_block_fn) if use_ckpt
+                             else msg_block_fn)
+
                 pj_c = p_j.astype(dt)
                 parts = []
-                for i0 in range(0, n, blk):
-                    parts.append(msg_block(
-                        p_i[..., i0:i0 + blk, :].astype(dt), pj_c,
-                        mask[i0:i0 + blk], w2, b2, wg, bg))
+                if adj_band is not None:
+                    # band-limited sweep (graph.sparse.band_windows):
+                    # under an RCM node order each dst row-block's
+                    # edges live in a narrow column window, so only
+                    # N*W candidate pairs are computed instead of N^2
+                    # — all entries outside a window are zero in
+                    # ``mask`` by construction, same math
+                    band_blk, w_cols, los = adj_band
+                    for bi, i0 in enumerate(range(0, n, band_blk)):
+                        lo = los[bi]
+                        parts.append(msg_block(
+                            p_i[..., i0:i0 + band_blk, :].astype(dt),
+                            pj_c[..., lo:lo + w_cols, :],
+                            mask[i0:i0 + band_blk, lo:lo + w_cols],
+                            w2, b2, wg, bg))
+                else:
+                    itemsize = jnp.zeros((), dt).dtype.itemsize
+                    blk = max(128, min(n, int(2 ** 28 / max(
+                        n * self.output_size * itemsize, 1))))
+                    for i0 in range(0, n, blk):
+                        parts.append(msg_block(
+                            p_i[..., i0:i0 + blk, :].astype(dt), pj_c,
+                            mask[i0:i0 + blk], w2, b2, wg, bg))
                 agg = jnp.concatenate(parts, axis=-2) \
                     if len(parts) > 1 else parts[0]
         else:

@@ -121,9 +121,17 @@ class Predictor:
         # remote-TPU tunnel that is hundreds of ~5 ms round-trips plus
         # one tiny compile-service call PER UNIQUE OP (minutes for a
         # deep stack like GWNet); jitted it is a single compile.
-        static_kw = {k: v for k, v in kwargs.items()
-                     if isinstance(v, (bool, int, float, str, type(None),
-                                       np.generic))}
+        def _is_static(v):
+            """Python scalars and (nested) tuples of them — e.g. the
+            GatedGN ``adj_band`` window table — stay trace-time
+            constants; arrays trace as arguments."""
+            if isinstance(v, (bool, int, float, str, type(None),
+                              np.generic)):
+                return True
+            return isinstance(v, tuple) and all(_is_static(x)
+                                                for x in v)
+
+        static_kw = {k: v for k, v in kwargs.items() if _is_static(v)}
         dyn_kw = {k: v for k, v in kwargs.items() if k not in static_kw}
 
         @jax.jit
