@@ -35,7 +35,9 @@ def encode_series_sharded(reservoir, x_series, graph: Graph, mesh: Mesh,
                           add_loops: bool = False,
                           bidirectional: bool = False,
                           global_attr: bool = False,
-                          out_dtype=None) -> jnp.ndarray:
+                          out_dtype=None,
+                          halo_payload: str = "float32",
+                          chips_per_host: int = None) -> jnp.ndarray:
     """SGP-encode ``x_series [T, N, F]`` with every stage node-sharded.
 
     Returns the embedding ``[T, N', D]`` (``N'`` = N padded to a
@@ -44,8 +46,16 @@ def encode_series_sharded(reservoir, x_series, graph: Graph, mesh: Mesh,
     ``[h, Ah, ..., A^k h (, A'h, ..., A'^k h)(, mean(h))]``
     (``lib/sgp_preprocessing.py:163-218`` + global_attr support).
     Build decoder models with ``n_nodes = N'`` and mask padded nodes.
+
+    ``halo_payload`` ('bfloat16'/'int8') compresses the boundary-row
+    wire format; ``chips_per_host`` additionally builds the two-level
+    (host, chip) exchange plan for meshes whose ``axis`` is the
+    ``('host', 'chip')`` tuple (see ``parallel/halo.py``).
     """
-    n_shards = mesh.shape[axis]
+    if isinstance(axis, (tuple, list)):
+        n_shards = int(np.prod([mesh.shape[a] for a in axis]))
+    else:
+        n_shards = mesh.shape[axis]
     n_true = graph.num_nodes
     xs = shard_nodes(jnp.asarray(x_series), mesh, axis, node_axis=1)
     h = reservoir(xs, out_dtype=out_dtype)        # [T, N', LH] sharded
@@ -57,10 +67,14 @@ def encode_series_sharded(reservoir, x_series, graph: Graph, mesh: Mesh,
     graphs = prepare_propagation_graphs(
         graph, undirected=undirected, add_loops=add_loops,
         bidirectional=bidirectional)
-    spec_fwd = build_halo_spec(graphs[0], n_shards)
+    spec_fwd = build_halo_spec(graphs[0], n_shards,
+                               payload_dtype=halo_payload,
+                               chips_per_host=chips_per_host)
     parts = [halo_khop(spec_fwd, h, mesh, k=k, axis=axis, concat=True)]
     if bidirectional:
-        spec_bwd = build_halo_spec(graphs[1], n_shards)
+        spec_bwd = build_halo_spec(graphs[1], n_shards,
+                                   payload_dtype=halo_payload,
+                                   chips_per_host=chips_per_host)
         bwd = halo_khop(spec_bwd, h, mesh, k=k, axis=axis, concat=True)
         parts.append(bwd[..., h.shape[-1]:])      # drop the repeated h
     if global_attr:
@@ -74,8 +88,9 @@ def encode_series_sharded(reservoir, x_series, graph: Graph, mesh: Mesh,
     if out_dtype is not None:
         out = out.astype(out_dtype)
     # keep the result node-sharded in HBM
+    ax = tuple(axis) if isinstance(axis, (tuple, list)) else axis
     return jax.lax.with_sharding_constraint(
-        out, jax.sharding.NamedSharding(mesh, P(None, axis, None)))
+        out, jax.sharding.NamedSharding(mesh, P(None, ax, None)))
 
 
 def sharded_ridge_nodes(x, y, alpha: float, mesh: Mesh,

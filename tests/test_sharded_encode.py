@@ -126,3 +126,28 @@ def test_sharded_encode_feeds_sharded_iid_step(rng):
     for arr in step.data[:3]:
         assert len(arr.addressable_shards) == 8
         assert arr.addressable_shards[0].data.nbytes * 8 == arr.nbytes
+
+
+def test_encode_series_sharded_bf16_halo_payload(rng):
+    """Compressed halo payloads through the full sharded encode match
+    the f32-wire result to bf16 tolerance."""
+    import jax.numpy as jnp
+    from sgp_tpu.encode import Reservoir
+    from sgp_tpu.graph import Graph, coalesce, normalize_adj
+    from sgp_tpu.parallel import make_mesh
+    from sgp_tpu.parallel.encode import encode_series_sharded
+
+    n, t = 40, 12
+    g = normalize_adj(coalesce(Graph(
+        rng.integers(0, n, 240), rng.integers(0, n, 240),
+        rng.random(240).astype(np.float32), n)), "row")
+    res = Reservoir(input_size=2, hidden_size=8, num_layers=1,
+                    leaking_rate=0.9, spectral_radius=0.8, density=1.0)
+    x = rng.standard_normal((t, n, 2)).astype(np.float32)
+    mesh = make_mesh(1, 8)
+    with mesh:
+        ref = encode_series_sharded(res, x, g, mesh, k=2, axis="model")
+        got = encode_series_sharded(res, x, g, mesh, k=2, axis="model",
+                                    halo_payload="bfloat16")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-2)
