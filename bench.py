@@ -250,14 +250,24 @@ def _full_adj_mask_banded(band_blk: int = 256):
     perm = rcm_order(g)
     band = band_windows(a[np.ix_(perm, perm)], band_blk)
     pos_p = pos[perm]
+    blk, w_cols, los = band
+    # row_lo[i] = window start of node i's block: the device mask is
+    # zeroed OUTSIDE the host-derived windows so a float-boundary edge
+    # the device threshold sees but the host didn't can never land
+    # outside its window (the band sweep would silently skip it)
+    row_lo = np.repeat(np.asarray(los, np.int32),
+                       blk)[:N_NODES]
 
     @jax.jit
-    def build(p):
+    def build(p, lo):
         d2 = ((p[:, None] - p[None]) ** 2).sum(-1)
         sim = jnp.exp(-d2 / 0.01) * (1.0 - jnp.eye(N_NODES))
-        return (sim > thr).astype(jnp.bfloat16)
+        cols = jnp.arange(N_NODES)[None, :]
+        inside = (cols >= lo[:, None]) & (cols < lo[:, None] + w_cols)
+        return ((sim > thr) & inside).astype(jnp.bfloat16)
 
-    return build(jnp.asarray(pos_p)), n_edges, band
+    return build(jnp.asarray(pos_p), jnp.asarray(row_lo)), n_edges, \
+        band
 
 
 def _full_ell(max_edges: int = 2_500_000, seed: int = 2):

@@ -62,8 +62,12 @@ class _GatedGNBase(nn.Module):
             x = x + StaticGraphEmbedding(self.n_nodes, self.hidden_size)(
                 token_index=node_index)
         for _ in range(self.gnn_layers):
-            x = GatedGraphNetwork(self.hidden_size, self.activation,
-                                  sorted_edges=sorted_edges, dtype=dt)(
+            x = GatedGraphNetwork(
+                self.hidden_size, self.activation,
+                sorted_edges=sorted_edges, dtype=dt,
+                # every layer saves its own all-pairs residual set:
+                # split a ~12 GB total budget across the stack
+                resid_budget_gb=12.0 / max(self.gnn_layers, 1))(
                 x, src, dst, edge_mask=edge_mask, neigh=neigh, adj=adj,
                 adj_band=adj_band)
         x = act(nn.Dense(self.hidden_size, dtype=dt)(x)) + x

@@ -289,6 +289,11 @@ class GatedGraphNetwork(nn.Module):
     activation: str = "silu"
     sorted_edges: bool = False
     dtype: object = None
+    # per-LAYER residual budget (GB) for the all-pairs remat-off auto
+    # heuristic: stacks of L layers each save their own [.., N, W, h]
+    # residual set, so callers divide a TOTAL budget by L
+    # (``gated_gn.py::_decode`` passes 12/gnn_layers)
+    resid_budget_gb: float = 6.0
 
     @nn.compact
     def __call__(self, x, src: jnp.ndarray = None,
@@ -378,7 +383,8 @@ class GatedGraphNetwork(nn.Module):
                 bsz = int(np.prod(p_i.shape[:-2])) or 1
                 resid_gb = bsz * n * w_cols * self.output_size * \
                     jnp.zeros((), dt).dtype.itemsize / 2 ** 30
-                use_ckpt = (resid_gb > 6.0 if ALLPAIRS_REMAT is None
+                use_ckpt = (resid_gb > self.resid_budget_gb
+                            if ALLPAIRS_REMAT is None
                             else ALLPAIRS_REMAT)
                 msg_block = (jax.checkpoint(msg_block_fn) if use_ckpt
                              else msg_block_fn)

@@ -256,8 +256,14 @@ def dense_adj_mask(g: Graph, dtype=jnp.bfloat16) -> jnp.ndarray:
     list — uploads ``~E*8`` bytes instead of the ``N^2`` host-densified
     matrix (~165 MB -> minutes through the ~MB/s tunnel at Table-2
     scale). The GatedGN dense all-pairs aggregation input."""
-    src = jnp.asarray(g.src.astype(np.int32))
-    dst = jnp.asarray(g.dst.astype(np.int32))
+    src_h, dst_h = g.src, g.dst
+    if g.weight is not None:
+        # explicitly-stored zeros are structure, not edges — keep
+        # parity with the host (to_dense() != 0) semantics
+        keep = np.asarray(g.weight) != 0
+        src_h, dst_h = src_h[keep], dst_h[keep]
+    src = jnp.asarray(src_h.astype(np.int32))
+    dst = jnp.asarray(dst_h.astype(np.int32))
     n = g.num_nodes
     return jax.jit(
         lambda s, d: jnp.zeros((n, n), dtype).at[d, s].set(

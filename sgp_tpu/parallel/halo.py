@@ -224,7 +224,10 @@ def build_halo_spec(g: Graph, n_shards: int, dtype=jnp.float32,
     halo = tuple(jnp.asarray(a, dtype if a.dtype == np.float32 else None)
                  for a in halo)
     hier = None
-    if chips_per_host is not None and s > chips_per_host:
+    if chips_per_host is not None and s >= chips_per_host:
+        # s == chips_per_host (single host) still builds a valid plan
+        # (H=1: the cross-host stage degenerates to identity) so a
+        # tuple-axis mesh with one host runs unchanged
         if s % chips_per_host:
             raise ValueError(
                 f"n_shards ({s}) must be a multiple of chips_per_host "
@@ -454,9 +457,33 @@ def _hier_halo_hop(mode, x_local, local, halo, hier_arrays, meta,
     recv_i = _exchange(si, chip_ax, payload)         # [.., C, Bi, F]
     sc = jnp.take(x_local, send_cross_idx.reshape(-1), axis=-2)
     sc = sc.reshape(lead + (h_num, b_cross, f))
-    recv_c = _exchange(sc, host_ax, payload)         # [.., H, Bc, F]
-    allc = jax.lax.all_gather(recv_c, chip_ax, axis=len(lead),
-                              tiled=False)           # [.., C, H, Bc, F]
+    # keep the COMPRESSED wire format through BOTH cross-host legs
+    # (the DCN all_to_all and the ICI all_gather redistribution) —
+    # dequantizing in between would ship f32 on the all_gather and
+    # break the bytes-per-hop ledger's accounting
+    ga = len(lead)
+    sa = sc.ndim - 3
+    if payload == "bfloat16":
+        rq = jax.lax.all_to_all(sc.astype(jnp.bfloat16), host_ax,
+                                split_axis=sa, concat_axis=sa)
+        allc = jax.lax.all_gather(rq, chip_ax, axis=ga,
+                                  tiled=False).astype(sc.dtype)
+    elif payload == "int8":
+        scale = jnp.maximum(jnp.max(jnp.abs(sc), axis=-1,
+                                    keepdims=True), 1e-30)
+        q = jnp.round(sc / scale * 127.0).astype(jnp.int8)
+        rq = jax.lax.all_to_all(q, host_ax, split_axis=sa,
+                                concat_axis=sa)
+        rs = jax.lax.all_to_all(scale.astype(jnp.float32), host_ax,
+                                split_axis=sa, concat_axis=sa)
+        aq = jax.lax.all_gather(rq, chip_ax, axis=ga, tiled=False)
+        asn = jax.lax.all_gather(rs, chip_ax, axis=ga, tiled=False)
+        allc = (aq.astype(jnp.float32) * (asn / 127.0)).astype(sc.dtype)
+    else:
+        rq = jax.lax.all_to_all(sc, host_ax, split_axis=sa,
+                                concat_axis=sa)
+        allc = jax.lax.all_gather(rq, chip_ax, axis=ga, tiled=False)
+    # allc: [.., C, H, Bc, F]
     buf = jnp.concatenate(
         [recv_i.reshape(lead + (c_per * b_intra, f)),
          allc.reshape(lead + (c_per * h_num * b_cross, f))], axis=-2)
@@ -474,14 +501,28 @@ def halo_khop(spec: HaloSpec, x: jnp.ndarray, mesh: Mesh, k: int = 1,
     Pads the node dim to ``S * Nl`` if needed (pad rows of ``A`` are
     zero, so padded outputs are zero and sliced off)."""
     n = spec.num_nodes
-    permute_here = spec.perm is not None and x.shape[-2] == n
+    n_pad_total = spec.n_shards * spec.nodes_per_shard
+    permute_here = spec.perm is not None
     if permute_here:
         # the plan was built under a reordering (e.g. RCM): permute in,
         # un-permute out — one [N, F] gather each way per CALL (not per
-        # hop), amortized over the k hops. Callers passing pre-padded
-        # (already plan-ordered) inputs skip this.
-        x = jnp.take(x, jnp.asarray(spec.perm), axis=-2)
-    n_pad = spec.n_shards * spec.nodes_per_shard
+        # hop), amortized over the k hops. A pre-padded input (e.g.
+        # from shard_nodes) is NATURAL-ordered with zero pad rows, so
+        # the permutation extends with identity on the padding —
+        # silently skipping it would run the plan's reordered blocks
+        # on natural-ordered data (wrong results).
+        perm = spec.perm
+        if x.shape[-2] != n:
+            if x.shape[-2] != n_pad_total:
+                raise ValueError(
+                    f"halo_khop: input node dim {x.shape[-2]} matches "
+                    f"neither N={n} nor the plan's padded "
+                    f"{n_pad_total} (reordered plan — cannot infer "
+                    "the node order of this input)")
+            perm = np.concatenate(
+                [perm, np.arange(n, x.shape[-2], dtype=perm.dtype)])
+        x = jnp.take(x, jnp.asarray(perm), axis=-2)
+    n_pad = n_pad_total
     padded_here = x.shape[-2] == n and n_pad != n
     if padded_here:
         pad = [(0, 0)] * (x.ndim - 2) + [(0, n_pad - n), (0, 0)]
@@ -529,8 +570,8 @@ def halo_khop(spec: HaloSpec, x: jnp.ndarray, mesh: Mesh, k: int = 1,
     if padded_here:
         out = out[..., :n, :]
     if permute_here:
-        inv = np.empty_like(spec.perm)
-        inv[spec.perm] = np.arange(len(spec.perm))
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm), dtype=perm.dtype)
         out = jnp.take(out, jnp.asarray(inv), axis=-2)
     return out
 

@@ -89,6 +89,7 @@ class Predictor:
         self.static_batch = {
             k: jax.tree.map(jnp.asarray, v)
             for k, v in (static_batch or {}).items()}
+        self._static_placed = None   # mesh-replicated cache (_place)
         self.loss_kind = loss
         self.scale_target = scale_target
         self.metrics = metrics or MaskedMetrics.forecasting()
@@ -244,13 +245,22 @@ class Predictor:
         per-batch subgraph arrays, node_index, scalers) replicates.
         Ragged tail batches replicate entirely — identical math, XLA
         just skips the partitioning. No mesh: plain device arrays."""
-        if self.static_batch:
+        if self.static_batch and self.mesh is None:
             batch = {**self.static_batch, **batch}
         if self.mesh is None:
             return _to_device(batch)
         from jax.sharding import NamedSharding, PartitionSpec as P
         n = self.mesh.shape["data"]
         b = np.shape(batch["x"])[0]
+        if self.static_batch and self._static_placed is None:
+            # place the per-run graph state (dense supports, [N, N]
+            # adjacency) ONCE — re-device_putting it per batch would
+            # re-broadcast up to hundreds of MB every step
+            repl = NamedSharding(self.mesh, P())
+            self._static_placed = {
+                k: jax.tree.map(lambda p: jax.device_put(
+                    jnp.asarray(p), repl), v)
+                for k, v in self.static_batch.items()}
 
         def put(k, v):
             if not isinstance(v, (np.ndarray, jax.Array)):
@@ -266,7 +276,10 @@ class Predictor:
                 else P()
             return jax.device_put(arr, NamedSharding(self.mesh, spec))
 
-        return {k: put(k, v) for k, v in batch.items()}
+        placed = {k: put(k, v) for k, v in batch.items()}
+        if self.static_batch:
+            placed = {**self._static_placed, **placed}
+        return placed
 
     def _check_dp_batch_size(self, loader):
         """DP must actually shard: a batch size not divisible by the

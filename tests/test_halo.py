@@ -283,3 +283,75 @@ def test_project_scaling_hierarchical_improves():
         new["comm_bytes_per_hop_naive_f32_flat"]
     led = host_boundary_ledger(g, 32)
     assert led["hosts"] == 4 and led["b_cross"] > 0
+
+
+def test_halo_rcm_padded_input_non_divisible_n(rng):
+    """Regression (r5 review): an RCM-built plan fed a shard_nodes
+    PRE-PADDED input (N not divisible by the shard count) must still
+    apply the permutation — it was silently skipped, running reordered
+    blocks on natural-ordered data."""
+    n = 50                              # pads to 56 on 8 shards
+    g = random_graph(rng, n=n, e=300)
+    mesh = make_mesh(1, 8)
+    spec = build_halo_spec(g, 8, order="rcm")
+    op = build_operator(g, "dense")
+    x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    expect = np.asarray(op @ x)
+    xs = shard_nodes(x, mesh, "model")   # [56, 8] padded natural order
+    with mesh:
+        out = halo_khop(spec, xs, mesh, k=1, axis="model")
+    np.testing.assert_allclose(np.asarray(out)[:n], expect, atol=1e-5)
+
+
+def test_halo_hierarchical_single_host(rng):
+    """Regression (r5 review): chips_per_host == n_shards (one host)
+    must build a degenerate-but-valid two-level plan instead of
+    raising."""
+    from jax.sharding import Mesh
+    n = 48
+    g = random_graph(rng, n=n, e=400)
+    spec = build_halo_spec(g, 8, chips_per_host=8)
+    assert spec.hier is not None
+    assert spec.dcn_bytes_per_hop(16) == 0      # H=1: no DCN leg
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(1, 8),
+                ("host", "chip"))
+    op = build_operator(g, "dense")
+    x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    expect = np.asarray(op @ x)
+    xs = shard_nodes(x, mesh, ("host", "chip"))
+    with mesh:
+        out = halo_khop(spec, xs, mesh, k=1, axis=("host", "chip"))
+    np.testing.assert_allclose(np.asarray(out)[:n], expect, atol=1e-5)
+
+
+def test_halo_hier_int8_payload(rng):
+    """int8 payload through the two-level path (compressed on BOTH the
+    DCN all_to_all and the ICI all_gather legs)."""
+    from jax.sharding import Mesh
+    n = 64
+    g = ring_graph(n=n, width=3)
+    spec_f = build_halo_spec(g, 8, chips_per_host=4)
+    spec_q = build_halo_spec(g, 8, chips_per_host=4,
+                             payload_dtype="int8")
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                ("host", "chip"))
+    x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    xs = shard_nodes(x, mesh, ("host", "chip"))
+    with mesh:
+        ref = halo_khop(spec_f, xs, mesh, k=1, axis=("host", "chip"))
+        got = halo_khop(spec_q, xs, mesh, k=1, axis=("host", "chip"))
+    np.testing.assert_allclose(np.asarray(got)[:n], np.asarray(ref)[:n],
+                               atol=8e-2)
+
+
+def test_dense_adj_mask_drops_stored_zeros(rng):
+    """Regression (r5 review): explicitly-stored zero weights are
+    structure, not edges — parity with (to_dense() != 0)."""
+    from sgp_tpu.ops.spmm import dense_adj_mask
+    n = 12
+    w = rng.random(40).astype(np.float32)
+    w[::4] = 0.0
+    g = Graph(rng.integers(0, n, 40), rng.integers(0, n, 40), w, n)
+    mask = np.asarray(dense_adj_mask(g), np.float32)
+    expect = (np.asarray(g.to_dense()) != 0).astype(np.float32)
+    np.testing.assert_array_equal(mask, expect)
