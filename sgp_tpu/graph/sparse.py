@@ -383,3 +383,26 @@ def band_windows(dense_adj: np.ndarray, block: int,
     width = min(n, -(-width // width_mult) * width_mult)
     los = tuple(min(max(lo, 0), n - width) for lo, _ in bounds)
     return block, width, los
+
+def morton_order(pos: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Z-order (Morton) node permutation from 2-D positions: nodes
+    sorted by interleaved coordinate bits, so CONTIGUOUS index blocks
+    are compact spatial tiles. For geometric knn/threshold graphs a
+    tile's boundary scales with its perimeter — typically a much
+    smaller halo cut than :func:`rcm_order`'s 1-D bands (RCM remains
+    the right choice when only connectivity is known). Returns
+    ``perm`` (new position -> old id), same convention as
+    :func:`rcm_order`."""
+    p = np.asarray(pos, np.float64)
+    if p.ndim != 2 or p.shape[1] != 2:
+        raise ValueError("morton_order expects [N, 2] positions")
+    lo, hi = p.min(0), p.max(0)
+    q = ((p - lo) / np.maximum(hi - lo, 1e-12)
+         * (2 ** bits - 1)).astype(np.uint64)
+    code = np.zeros(len(p), np.uint64)
+    for b in range(bits):
+        code |= ((q[:, 0] >> np.uint64(b)) & np.uint64(1)) \
+            << np.uint64(2 * b)
+        code |= ((q[:, 1] >> np.uint64(b)) & np.uint64(1)) \
+            << np.uint64(2 * b + 1)
+    return np.argsort(code, kind="stable").astype(np.int64)

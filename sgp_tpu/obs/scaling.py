@@ -57,7 +57,9 @@ def host_boundary_ledger(g: Graph, n_shards: int,
       one of the S-1 peer slots to the global ``b_max``).
     """
     from sgp_tpu.graph.sparse import permute_nodes, rcm_order
-    if order == "rcm":
+    if isinstance(order, np.ndarray):
+        g = permute_nodes(g, order)
+    elif order == "rcm":
         g = permute_nodes(g, rcm_order(g))
     n, s = g.num_nodes, n_shards
     nl = -(-n // s)

@@ -86,3 +86,30 @@ def test_project_scaling_model():
     assert proj["8"]["efficiency"] > 0.8
     # DCN hop is slower per byte: efficiency at 32 <= ICI-only at 8
     assert proj["32"]["efficiency"] <= proj["8"]["efficiency"] + 1e-6
+
+
+def test_morton_order_and_projection_orders():
+    """morton_order yields compact tiles (smaller cross-host unions
+    than natural order on a geometric graph) and project_scaling
+    accepts explicit permutations."""
+    import numpy as np
+    from sgp_tpu.graph import Graph, coalesce, normalize_adj
+    from sgp_tpu.graph.sparse import morton_order
+    from sgp_tpu.graph.similarities import top_k
+    from sgp_tpu.obs.scaling import host_boundary_ledger, project_scaling
+
+    rng = np.random.default_rng(5)
+    n = 2048                 # 64 nodes/shard at 32 shards: tiles are
+    pos = rng.random((n, 2)).astype(np.float32)   # genuinely compact
+    d2 = ((pos[:, None] - pos[None]) ** 2).sum(-1)
+    sim = np.exp(-d2 / 0.02)
+    np.fill_diagonal(sim, 0)
+    g = normalize_adj(coalesce(Graph.from_dense(
+        top_k(sim, 12, keep_values=True))), "row")
+    perm = morton_order(pos)
+    assert sorted(perm.tolist()) == list(range(n))
+    led_nat = host_boundary_ledger(g, 32, chips_per_host=8)
+    led_mor = host_boundary_ledger(g, 32, chips_per_host=8, order=perm)
+    assert led_mor["b_cross"] < led_nat["b_cross"]
+    p = project_scaling(g, 128, 1e9, n_chips_list=(32,), order=perm)
+    assert 0 < p["32"]["efficiency"] <= 1.0
