@@ -62,6 +62,7 @@ _COMPACT_KEYS = [
     "gwnet_mfu", "gatedgn_bf16_mfu", "mfu_vs_bf16_peak",
     "scaling_proj_32chips_efficiency",
     "scaling_proj_32chips_efficiency_seriesencode",
+    "scaling_proj_32chips_efficiency_road",
     "stratified_batch_s_T8868", "stratified_batch_s_T4434",
     "traffic_stratified_fullT34272_batch_s",
     "traffic_fused_epoch_s_T8640",
@@ -435,6 +436,37 @@ def section_headline() -> dict:
             proj_enc["32"]["efficiency"], 3)
         out["scaling_proj_32chips_seriesencode_comm_bound"] = \
             proj_enc["32"]["comm_bound"]
+        # deep-halo (depth-d) projection on a ROAD-shaped graph (the
+        # traffic family: banded, degree ~8 — METR-LA/PEMS shape): the
+        # single-pass 32-chip exchange there is DCN-LATENCY-bound
+        # (b_max ~ the band halfwidth, bytes tiny), so one collective
+        # per d hops amortizes the ~50us floor d-fold. On the
+        # geometric 100-nn graphs depth=1 stays best (the boundary is
+        # ~the whole shard — bench reports the honest per-depth pick).
+        from sgp_tpu.graph import Graph
+        nr, halfw = 52000, 4
+        srcs, dsts = [], []
+        for dd in range(1, halfw + 1):
+            ridx = np.arange(nr - dd)
+            srcs += [ridx, ridx + dd]
+            dsts += [ridx + dd, ridx]
+        g_road = Graph(np.concatenate(srcs).astype(np.int64),
+                       np.concatenate(dsts).astype(np.int64),
+                       np.ones(2 * sum(nr - dd for dd in
+                                       range(1, halfw + 1)),
+                               np.float32), nr)
+        best_eff, best_d = 0.0, 1
+        for dd in (1, 2, 4, 8):
+            pr = project_scaling(g_road, 128, rate, n_chips_list=(32,),
+                                 order="natural", depth=dd)
+            eff = pr["32"]["efficiency"]
+            if dd == 1:
+                out["scaling_proj_32chips_efficiency_road_depth1"] = \
+                    round(eff, 3)
+            if eff > best_eff:
+                best_eff, best_d = eff, dd
+        out["scaling_proj_32chips_efficiency_road"] = round(best_eff, 3)
+        out["scaling_proj_32chips_road_depth_best"] = best_d
     except Exception as e:   # projection must never sink the headline
         out["scaling_proj_error"] = str(e)[:100]
 

@@ -92,7 +92,8 @@ def project_scaling(g: Graph, feat: int,
                     n_chips_list=(1, 8, 32), k: int = 1,
                     itemsize: int = None, order: str = "rcm",
                     payload_dtype: str = "bfloat16",
-                    hierarchical: bool = True) -> Dict[str, dict]:
+                    hierarchical: bool = True,
+                    depth: int = 1) -> Dict[str, dict]:
     """Predictive comm/compute model for node-sharded K-hop propagation
     (VERDICT round-2 item 9): from the halo plan's bytes-per-hop ledger
     plus a MEASURED single-chip SpMM rate, project edges/s and scaling
@@ -112,7 +113,15 @@ def project_scaling(g: Graph, feat: int,
     ledger next to the effective one so the win is auditable. With
     overlap (the plan issues the exchange alongside the local block
     matmul) the hop costs max(compute, comm); without, their sum.
-    Efficiency = ideal time / (S * per-hop time)."""
+    Efficiency = ideal time / (S * per-hop time).
+
+    ``depth`` (deep halo, ``build_halo_spec(..., depth=d)``): the
+    collective — and its fixed DCN latency, which dominates the
+    single-pass 32-chip row — fires once per ``d`` hops; the ``d-1``
+    in-between hops instead advance the (depth-d, so larger) halo
+    buffer in place (``ext_edges_max`` extra edges of compute per
+    hop). Exchange bytes grow with the deeper boundary; the reported
+    ``comm_bytes_per_hop`` is amortized (bytes per exchange / d)."""
     from sgp_tpu.parallel.halo import build_halo_spec
 
     edges = g.num_edges * k
@@ -123,33 +132,44 @@ def project_scaling(g: Graph, feat: int,
             out["1"] = {"edges_per_s": single_chip_edges_per_s,
                         "efficiency": 1.0, "comm_bytes_per_hop": 0}
             continue
-        spec = build_halo_spec(g, s, order=order,
-                               payload_dtype=payload_dtype)
+        crosses_hosts = s > CHIPS_PER_HOST
+        spec = build_halo_spec(
+            g, s, order=order, payload_dtype=payload_dtype,
+            depth=depth, mode="coo",
+            chips_per_host=(CHIPS_PER_HOST if crosses_hosts
+                            and hierarchical else None))
         per_row = (feat * spec.payload_itemsize()
                    + (4 if payload_dtype == "int8" else 0)) \
             if itemsize is None else feat * itemsize
         flat_bytes = s * spec.b_max * per_row
         naive_bytes = s * spec.b_max * feat * 4   # r4 ledger: f32+flat
         t_comp = (g.num_edges / s) / single_chip_edges_per_s
-        crosses_hosts = s > CHIPS_PER_HOST
+        # deep-halo in-buffer hops advance the halo rows too
+        t_ext = spec.ext_edges_max() / single_chip_edges_per_s
         if not crosses_hosts:
             comm_bytes = flat_bytes
             t_comm = comm_bytes / ICI_BYTES_PER_S + ICI_LATENCY_S
         elif hierarchical:
-            led = host_boundary_ledger(g, s, order=order)
-            c = min(CHIPS_PER_HOST, s)
-            dcn_bytes = (led["hosts"] - 1) * led["b_cross"] * per_row
+            # read b_intra/b_cross from the spec's own two-level plan
+            # (depth-consistent boundary sets)
+            _, _, _, c, hosts, b_intra, b_cross = spec.hier
+            dcn_bytes = (hosts - 1) * b_cross * per_row
             # intra all_to_all + cross-buffer redistribution (ICI)
-            ici_bytes = (c - 1) * led["b_intra"] * per_row \
-                + (c - 1) * (led["hosts"] - 1) * led["b_cross"] * per_row
+            ici_bytes = (c - 1) * b_intra * per_row \
+                + (c - 1) * (hosts - 1) * b_cross * per_row
             comm_bytes = dcn_bytes + ici_bytes
             t_comm = (dcn_bytes / DCN_BYTES_PER_S + DCN_LATENCY_S
                       + ici_bytes / ICI_BYTES_PER_S + ICI_LATENCY_S)
         else:
             comm_bytes = flat_bytes
             t_comm = comm_bytes / DCN_BYTES_PER_S + DCN_LATENCY_S
-        t_hop_overlap = max(t_comp, t_comm)
-        t_hop_serial = t_comp + t_comm
+        d = max(1, depth)
+        # one exchange (overlapping the first hop's local matmul) then
+        # d-1 in-buffer hops; per-hop cost is the group amortization
+        t_hop_overlap = (max(t_comp, t_comm)
+                         + (d - 1) * (t_comp + t_ext)) / d
+        t_hop_serial = (t_comp + t_comm
+                        + (d - 1) * (t_comp + t_ext)) / d
         row = {
             "edges_per_s": g.num_edges * k / (k * t_hop_overlap),
             "edges_per_s_no_overlap": g.num_edges * k
@@ -157,14 +177,15 @@ def project_scaling(g: Graph, feat: int,
             "efficiency": (t_single / k) / (s * t_hop_overlap),
             "efficiency_no_overlap": (t_single / k)
                 / (s * t_hop_serial),
-            "comm_bytes_per_hop": int(comm_bytes),
+            "comm_bytes_per_hop": int(comm_bytes / d),
             "comm_bytes_per_hop_naive_f32_flat": int(naive_bytes),
-            "comm_bound": bool(t_comm > t_comp),
+            "comm_bound": bool(t_comm > d * t_comp + (d - 1) * t_ext),
             "boundary_b_max": spec.b_max,
+            "depth": d,
         }
         if crosses_hosts and hierarchical:
-            row["dcn_bytes_per_hop"] = int(dcn_bytes)
-            row["b_cross_host"] = led["b_cross"]
+            row["dcn_bytes_per_hop"] = int(dcn_bytes / d)
+            row["b_cross_host"] = int(b_cross)
         out[str(s)] = row
     return out
 

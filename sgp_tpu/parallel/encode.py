@@ -37,7 +37,8 @@ def encode_series_sharded(reservoir, x_series, graph: Graph, mesh: Mesh,
                           global_attr: bool = False,
                           out_dtype=None,
                           halo_payload: str = "float32",
-                          chips_per_host: int = None) -> jnp.ndarray:
+                          chips_per_host: int = None,
+                          halo_depth: int = 1) -> jnp.ndarray:
     """SGP-encode ``x_series [T, N, F]`` with every stage node-sharded.
 
     Returns the embedding ``[T, N', D]`` (``N'`` = N padded to a
@@ -50,7 +51,10 @@ def encode_series_sharded(reservoir, x_series, graph: Graph, mesh: Mesh,
     ``halo_payload`` ('bfloat16'/'int8') compresses the boundary-row
     wire format; ``chips_per_host`` additionally builds the two-level
     (host, chip) exchange plan for meshes whose ``axis`` is the
-    ``('host', 'chip')`` tuple (see ``parallel/halo.py``).
+    ``('host', 'chip')`` tuple; ``halo_depth`` exchanges a depth-d
+    boundary once per d hops (one collective per direction when
+    ``halo_depth=k`` — right for low-degree road graphs whose exchange
+    is DCN-latency-bound; see ``parallel/halo.py``).
     """
     if isinstance(axis, (tuple, list)):
         n_shards = int(np.prod([mesh.shape[a] for a in axis]))
@@ -69,12 +73,14 @@ def encode_series_sharded(reservoir, x_series, graph: Graph, mesh: Mesh,
         bidirectional=bidirectional)
     spec_fwd = build_halo_spec(graphs[0], n_shards,
                                payload_dtype=halo_payload,
-                               chips_per_host=chips_per_host)
+                               chips_per_host=chips_per_host,
+                               depth=halo_depth)
     parts = [halo_khop(spec_fwd, h, mesh, k=k, axis=axis, concat=True)]
     if bidirectional:
         spec_bwd = build_halo_spec(graphs[1], n_shards,
                                    payload_dtype=halo_payload,
-                                   chips_per_host=chips_per_host)
+                                   chips_per_host=chips_per_host,
+                                   depth=halo_depth)
         bwd = halo_khop(spec_bwd, h, mesh, k=k, axis=axis, concat=True)
         parts.append(bwd[..., h.shape[-1]:])      # drop the repeated h
     if global_attr:

@@ -87,6 +87,16 @@ class HaloSpec:
     # ``chips_per_host``: (send_intra [S, C, Bi], send_cross
     # [S, H, Bc], assemble [S, S*B], C, H, b_intra, b_cross)
     hier: tuple = None
+    # deep-halo plan (``build_halo_spec(..., depth=d)``): exchange a
+    # d-hop boundary ONCE, then run d in-buffer hops — the per-hop
+    # collective (and its ~50us DCN latency, the dominant term of the
+    # 32-chip projection) amortizes d-fold. ``ext`` is the COO operator
+    # block that advances the halo rows themselves between exchanges:
+    # (esrc [S, Ee], edst [S, Ee], ew [S, Ee]) with ``edst`` indexing
+    # the ``S*B`` recv buffer and ``esrc`` the concatenated
+    # ``[local (Nl) | buffer (S*B)]`` state (esrc < Nl = local row).
+    depth: int = 1
+    ext: tuple = ()
 
     def dcn_bytes_per_hop(self, feat: int) -> int:
         """DCN bytes per device per hop under the two-level exchange
@@ -120,15 +130,25 @@ class HaloSpec:
     def plan_bytes_per_device(self) -> int:
         """Device-resident plan memory per shard (operator blocks +
         send plan) — the thing the sparse modes keep at O(E/S)."""
-        leaves = list(self.local) + list(self.halo) + [self.send_idx]
+        leaves = (list(self.local) + list(self.halo) + [self.send_idx]
+                  + list(self.ext))
         return sum(l.size * l.dtype.itemsize for l in leaves
                    ) // self.n_shards
+
+    def ext_edges_max(self) -> int:
+        """Max true (non-padding) ext-block edges on any shard — the
+        extra per-hop compute a deep-halo in-buffer hop performs."""
+        if not self.ext:
+            return 0
+        return int(np.count_nonzero(np.asarray(self.ext[2]),
+                                    axis=1).max())
 
 
 def build_halo_spec(g: Graph, n_shards: int, dtype=jnp.float32,
                     mode: str = "auto", order: str = "natural",
                     payload_dtype: str = "float32",
-                    chips_per_host: int = None) -> HaloSpec:
+                    chips_per_host: int = None,
+                    depth: int = 1) -> HaloSpec:
     """Partition ``g``'s nodes into ``n_shards`` contiguous blocks and
     precompute the boundary-exchange plan.
 
@@ -155,7 +175,19 @@ def build_halo_spec(g: Graph, n_shards: int, dtype=jnp.float32,
     ICI (``all_gather``) and a precomputed index map reassembles the
     flat recv layout. Use with ``halo_khop(..., axes=('host',
     'chip'))`` on a 2-D mesh whose device raveling matches
-    ``shard = host * C + chip``."""
+    ``shard = host * C + chip``.
+
+    ``depth`` (deep halo): exchange the DEPTH-hop in-neighborhood of
+    each shard's rows once, then run ``depth`` hops locally before the
+    next collective — ``halo_khop`` advances the halo rows between
+    exchanges with the ``ext`` COO block. Boundary sets (and so
+    ``b_max`` / the bytes per exchange) grow with the depth-d
+    reachability, but the per-hop collective count — and with it the
+    fixed ~50 us DCN latency that dominates the 32-chip single-pass
+    projection — drops d-fold. Local outputs are EXACT for any
+    ``k``: a halo row at graph distance ``δ`` holds the true ``A^t x``
+    value whenever ``δ <= depth - t`` hops since the last exchange,
+    and rows farther out are never read by a still-exact row."""
     n = g.num_nodes
     s = n_shards
     perm = None
@@ -196,6 +228,34 @@ def build_halo_spec(g: Graph, n_shards: int, dtype=jnp.float32,
             nz = np.unique(block.col[block.data != 0])
             need[i][j] = nz
             counts[i, j] = len(nz)
+    if depth > 1:
+        # widen the boundary sets to the depth-hop in-neighborhood:
+        # frontier closure over csr (rows = dst, cols = src), explicit
+        # zeros excluded like pass 1. Sets stay sorted LOCAL indices
+        # per owner shard (the convention every later pass relies on).
+        for i in range(s):
+            lo, hi = i * nl, min((i + 1) * nl, n)
+            working = set(range(lo, hi))
+            frontier = np.arange(lo, hi)
+            for _ in range(depth):
+                sub = csr[frontier].tocoo()
+                deps = np.unique(sub.col[sub.data != 0])
+                new = np.asarray(
+                    [q for q in deps.tolist() if q not in working],
+                    np.int64)
+                if not len(new):
+                    break
+                working.update(new.tolist())
+                frontier = new
+            halo_nodes = np.asarray(
+                sorted(working - set(range(lo, hi))), np.int64)
+            owners = halo_nodes // nl
+            for j in range(s):
+                if j == i:
+                    continue
+                nz = halo_nodes[owners == j] - j * nl
+                need[i][j] = nz
+                counts[i, j] = len(nz)
     b_max = max(1, int(counts.max()))
 
     # pass 2: send plan + halo entries in recv-layout columns
@@ -223,6 +283,9 @@ def build_halo_spec(g: Graph, n_shards: int, dtype=jnp.float32,
                   for a in local)
     halo = tuple(jnp.asarray(a, dtype if a.dtype == np.float32 else None)
                  for a in halo)
+    ext = ()
+    if depth > 1:
+        ext = _build_ext(csr, need, s, nl, n, b_max)
     hier = None
     if chips_per_host is not None and s >= chips_per_host:
         # s == chips_per_host (single host) still builds a valid plan
@@ -234,7 +297,61 @@ def build_halo_spec(g: Graph, n_shards: int, dtype=jnp.float32,
                 f"({chips_per_host}) for the two-level exchange")
         hier = _build_hier(need, s, b_max, chips_per_host)
     return HaloSpec(mode, local, halo, jnp.asarray(send_idx), s, nl, n,
-                    b_max, counts, payload_dtype, perm, hier)
+                    b_max, counts, payload_dtype, perm, hier, depth, ext)
+
+
+def _build_ext(csr, need, s, nl, n, b_max):
+    """Halo-row advance block for the deep-halo plan: for every recv
+    buffer slot (a node some shard needs), its row of ``A`` with
+    columns remapped into the shard's ``[local | buffer]`` state.
+    Columns outside the working set are DROPPED — they only feed rows
+    past the still-exact horizon (see ``build_halo_spec``'s depth
+    note), never a row that is read while exact."""
+    per = []
+    for i in range(s):
+        lo = i * nl
+        rows_e, cols_e, w_e = [], [], []
+        for j in range(s):
+            nzj = need[i][j]
+            if j == i or nzj is None or not len(nzj):
+                continue
+            sub = csr[j * nl + nzj].tocoo()
+            keep = sub.data != 0
+            rr, cc, ww = sub.row[keep], sub.col[keep], sub.data[keep]
+            owners = cc // nl
+            esrc = np.full(len(cc), -1, np.int64)
+            is_local = owners == i
+            esrc[is_local] = cc[is_local] - lo
+            for jj in np.unique(owners[~is_local]):
+                m = (owners == jj) & ~is_local
+                nzjj = need[i][jj]
+                if nzjj is None or not len(nzjj):
+                    continue
+                loc = cc[m] - jj * nl
+                pos = np.searchsorted(nzjj, loc)
+                pos_c = np.minimum(pos, len(nzjj) - 1)
+                inset = nzjj[pos_c] == loc
+                e = np.full(len(loc), -1, np.int64)
+                e[inset] = nl + jj * b_max + pos_c[inset]
+                esrc[m] = e
+            keep2 = esrc >= 0
+            rows_e.append(j * b_max + rr[keep2])
+            cols_e.append(esrc[keep2])
+            w_e.append(ww[keep2])
+        if rows_e:
+            per.append((np.concatenate(cols_e),
+                        np.concatenate(rows_e),
+                        np.concatenate(w_e).astype(np.float32)))
+        else:
+            per.append((np.zeros(0, np.int64), np.zeros(0, np.int64),
+                        np.zeros(0, np.float32)))
+    ne = max(1, max(len(p[0]) for p in per))
+    esrc = np.zeros((s, ne), np.int32)
+    edst = np.zeros((s, ne), np.int32)
+    ew = np.zeros((s, ne), np.float32)
+    for i, (c, r, v) in enumerate(per):
+        esrc[i, :len(c)], edst[i, :len(c)], ew[i, :len(c)] = c, r, v
+    return (jnp.asarray(esrc), jnp.asarray(edst), jnp.asarray(ew))
 
 
 def _build_hier(need, s, b_max, chips_per_host):
@@ -424,24 +541,36 @@ def _exchange(send, axis, payload: str):
     return jax.lax.all_to_all(send, axis, split_axis=sa, concat_axis=sa)
 
 
-def _halo_hop(mode, x_local, local, halo, send_idx, axis: str,
-              payload: str = "float32"):
-    """One hop on a device's local shard. ``x_local [..., Nl, F]``."""
+def _flat_exchange(x_local, send_idx, axis, payload: str):
+    """Flat ``all_to_all`` of the boundary rows; returns the recv
+    buffer ``[..., S*B, F]``."""
     s, b = send_idx.shape
     # gather the rows each peer needs: [..., S, B, F]
     send = jnp.take(x_local, send_idx.reshape(-1), axis=-2)
     send = send.reshape(x_local.shape[:-2] + (s, b, x_local.shape[-1]))
     recv = _exchange(send, axis, payload)
-    x_halo = recv.reshape(x_local.shape[:-2] + (s * b,
-                                                x_local.shape[-1]))
-    # local block matmul (overlaps the collective under XLA scheduling)
-    out = _apply_local(mode, local, x_local)
-    return out + _apply_halo(mode, halo, x_halo, x_local.shape[-2])
+    return recv.reshape(x_local.shape[:-2] + (s * b,
+                                              x_local.shape[-1]))
 
 
-def _hier_halo_hop(mode, x_local, local, halo, hier_arrays, meta,
-                   axes, payload: str):
-    """One hop with the TWO-LEVEL exchange (``axes = (host, chip)``):
+def _update_halo(ext, x_local, x_halo):
+    """Advance the recv-buffer rows one hop IN-BUFFER (deep-halo plan):
+    ``ext`` is the COO block over the concatenated
+    ``[local (Nl) | buffer (S*B)]`` state. Rows past the still-exact
+    horizon accumulate garbage (their dropped out-of-working-set
+    in-edges) — by construction they are never read while exact."""
+    esrc, edst, ew = ext
+    z = jnp.concatenate([x_local, x_halo], axis=-2)
+    z2 = jnp.moveaxis(z, -2, 0)
+    msgs = z2[esrc] * ew.reshape((-1,) + (1,) * (z2.ndim - 1))
+    y = jax.ops.segment_sum(msgs, edst,
+                            num_segments=x_halo.shape[-2])
+    return jnp.moveaxis(y, 0, -2).astype(x_halo.dtype)
+
+
+def _hier_exchange(x_local, hier_arrays, meta, axes, payload: str):
+    """TWO-LEVEL exchange (``axes = (host, chip)``) of the boundary
+    rows; returns the flat recv buffer ``[..., S*B, F]``:
     intra-host boundary rows ride an ICI ``all_to_all``; cross-host
     rows ship ONCE per needing host over DCN (union-deduplicated,
     ``b_cross``-padded), then redistribute over an ICI ``all_gather``;
@@ -487,9 +616,7 @@ def _hier_halo_hop(mode, x_local, local, halo, hier_arrays, meta,
     buf = jnp.concatenate(
         [recv_i.reshape(lead + (c_per * b_intra, f)),
          allc.reshape(lead + (c_per * h_num * b_cross, f))], axis=-2)
-    x_halo = jnp.take(buf, assemble_idx, axis=-2)    # [.., S*B, F]
-    out = _apply_local(mode, local, x_local)
-    return out + _apply_halo(mode, halo, x_halo, x_local.shape[-2])
+    return jnp.take(buf, assemble_idx, axis=-2)      # [.., S*B, F]
 
 
 def halo_khop(spec: HaloSpec, x: jnp.ndarray, mesh: Mesh, k: int = 1,
@@ -539,21 +666,33 @@ def halo_khop(spec: HaloSpec, x: jnp.ndarray, mesh: Mesh, k: int = 1,
             "(build_halo_spec(..., chips_per_host=C))")
     hier_arrays = spec.hier[:3] if hierarchical else ()
     hier_meta = spec.hier[3:] if hierarchical else None
+    depth = max(1, spec.depth)
 
-    def local_fn(local, halo, send_idx, hier_arr, x_local):
+    def local_fn(local, halo, send_idx, hier_arr, ext, x_local):
         local = tuple(a[0] for a in local)
         halo = tuple(a[0] for a in halo)
         send_idx = send_idx[0]
         hier_arr = tuple(a[0] for a in hier_arr)
+        ext = tuple(a[0] for a in ext)
         outs = [x_local]
-        for _ in range(k):
-            if hierarchical:
-                outs.append(_hier_halo_hop(
-                    mode, outs[-1], local, halo, hier_arr, hier_meta,
-                    tuple(axis), payload))
+        x_halo = None
+        for t in range(k):
+            if t % depth == 0:
+                # collective: fill the buffer with exact level-t rows
+                x_halo = (_hier_exchange(outs[-1], hier_arr, hier_meta,
+                                         tuple(axis), payload)
+                          if hierarchical else
+                          _flat_exchange(outs[-1], send_idx, axis,
+                                         payload))
             else:
-                outs.append(_halo_hop(mode, outs[-1], local, halo,
-                                      send_idx, axis, payload))
+                # deep halo: advance the buffer in place of a
+                # collective (level t-1 state -> level t halo rows)
+                x_halo = _update_halo(ext, outs[-2], x_halo)
+            # local block matmul (overlaps the collective under XLA
+            # scheduling)
+            out = _apply_local(mode, local, outs[-1])
+            outs.append(out + _apply_halo(mode, halo, x_halo,
+                                          outs[-1].shape[-2]))
         if concat:
             return jnp.concatenate(outs, -1)
         return outs[-1]
@@ -564,9 +703,11 @@ def halo_khop(spec: HaloSpec, x: jnp.ndarray, mesh: Mesh, k: int = 1,
         in_specs=(tuple(shard_p for _ in spec.local),
                   tuple(shard_p for _ in spec.halo),
                   shard_p, tuple(shard_p for _ in hier_arrays),
+                  tuple(shard_p for _ in spec.ext),
                   node_spec),
         out_specs=node_spec, check_vma=False)
-    out = fn(spec.local, spec.halo, spec.send_idx, hier_arrays, x)
+    out = fn(spec.local, spec.halo, spec.send_idx, hier_arrays,
+             spec.ext, x)
     if padded_here:
         out = out[..., :n, :]
     if permute_here:

@@ -355,3 +355,90 @@ def test_dense_adj_mask_drops_stored_zeros(rng):
     mask = np.asarray(dense_adj_mask(g), np.float32)
     expect = (np.asarray(g.to_dense()) != 0).astype(np.float32)
     np.testing.assert_array_equal(mask, expect)
+
+
+@pytest.mark.parametrize("mode", ["dense", "bsr", "coo"])
+def test_deep_halo_matches_dense(rng, mode):
+    """depth-d plans (one collective per d hops, in-buffer halo
+    advance) == the dense oracle for every k/depth phase alignment,
+    in all three operator representations."""
+    n = 120
+    g = random_graph(rng, n=n, e=900)
+    op = build_operator(g, "dense")
+    x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    mesh = make_mesh(1, 8)
+    for k in (2, 3, 5):
+        expect = np.asarray(x)
+        for _ in range(k):
+            expect = np.asarray(op @ jnp.asarray(expect))
+        for depth in (2, 3):
+            spec = build_halo_spec(g, 8, mode=mode, depth=depth)
+            if spec.boundary_counts.max() > 0:   # bsr pads 120->1 shard
+                assert spec.ext_edges_max() > 0
+            xs = shard_nodes(x, mesh, "model")
+            with mesh:
+                out = halo_khop(spec, xs, mesh, k=k, axis="model")
+            np.testing.assert_allclose(np.asarray(out)[:n], expect,
+                                       atol=1e-4)
+
+
+def test_deep_halo_concat_rcm_and_payload(rng):
+    """depth composes with concat=True (the encoder layout), an RCM
+    node order, and the bf16 wire payload."""
+    n = 96
+    g = ring_graph(n=n, width=3)
+    op = build_operator(g, "dense")
+    x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    hops = [np.asarray(x)]
+    for _ in range(4):
+        hops.append(np.asarray(op @ jnp.asarray(hops[-1])))
+    expect = np.concatenate(hops, -1)
+    mesh = make_mesh(1, 8)
+    spec = build_halo_spec(g, 8, depth=4, order="rcm",
+                           payload_dtype="bfloat16")
+    xs = shard_nodes(x, mesh, "model")
+    with mesh:
+        out = halo_khop(spec, xs, mesh, k=4, axis="model",
+                        concat=True)
+    np.testing.assert_allclose(np.asarray(out)[:n], expect, atol=5e-2)
+
+
+def test_deep_halo_hierarchical(rng):
+    """depth composes with the two-level (host, chip) exchange: the
+    spec's need sets (and so the hier plan) are the depth-d closure."""
+    from jax.sharding import Mesh
+    n = 96
+    g = ring_graph(n=n, width=2)
+    spec1 = build_halo_spec(g, 8, chips_per_host=4)
+    spec2 = build_halo_spec(g, 8, chips_per_host=4, depth=2)
+    assert spec2.b_max >= spec1.b_max     # deeper boundary
+    op = build_operator(g, "dense")
+    x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    expect = np.asarray(op @ (op @ x))
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                ("host", "chip"))
+    xs = shard_nodes(x, mesh, ("host", "chip"))
+    with mesh:
+        out = halo_khop(spec2, xs, mesh, k=2, axis=("host", "chip"))
+    np.testing.assert_allclose(np.asarray(out)[:n], expect, atol=1e-5)
+
+
+def test_deep_halo_sharded_encode(rng):
+    """encode_series_sharded(halo_depth=k) == halo_depth=1 (exact —
+    local rows are exact at every hop of the deep plan)."""
+    from sgp_tpu.parallel.encode import encode_series_sharded
+
+    class _Res:
+        def __call__(self, x, out_dtype=None):
+            return x * 0.5 + 0.1
+
+    n, t, f = 64, 6, 8
+    g = ring_graph(n=n, width=2)
+    x = rng.standard_normal((t, n, f)).astype(np.float32)
+    mesh = make_mesh(1, 8)
+    with mesh:
+        ref = np.asarray(encode_series_sharded(
+            _Res(), x, g, mesh, k=3, axis="model"))
+        got = np.asarray(encode_series_sharded(
+            _Res(), x, g, mesh, k=3, axis="model", halo_depth=3))
+    np.testing.assert_allclose(got, ref, atol=1e-5)

@@ -113,3 +113,33 @@ def test_morton_order_and_projection_orders():
     assert led_mor["b_cross"] < led_nat["b_cross"]
     p = project_scaling(g, 128, 1e9, n_chips_list=(32,), order=perm)
     assert 0 < p["32"]["efficiency"] <= 1.0
+
+
+def test_project_scaling_depth_road_graph():
+    """Deep halo in the predictive model: on a low-degree banded (road
+    network) graph the 32-chip single-pass row is DCN-LATENCY-bound,
+    and depth>1 (one collective per d hops) raises projected
+    efficiency monotonically; on the dense-boundary 100-nn geometric
+    graph depth=1 stays best (the in-buffer hops cost ~a full hop)."""
+    from sgp_tpu.graph.sparse import Graph
+    from sgp_tpu.obs.scaling import project_scaling
+
+    n, halfw = 52000, 4
+    srcs, dsts = [], []
+    for d in range(1, halfw + 1):
+        idx = np.arange(n - d)
+        srcs += [idx, idx + d]
+        dsts += [idx + d, idx]
+    g = Graph(np.concatenate(srcs).astype(np.int64),
+              np.concatenate(dsts).astype(np.int64),
+              np.ones(2 * sum(n - d for d in range(1, halfw + 1)),
+                      np.float32), n)
+    rate = 9.0e8
+    effs = []
+    for depth in (1, 2, 4):
+        p = project_scaling(g, 128, rate, n_chips_list=(32,),
+                            order="natural", depth=depth)
+        effs.append(p["32"]["efficiency"])
+        assert p["32"]["depth"] == depth
+    assert effs[0] < effs[1] < effs[2]
+    assert effs[2] > 2 * effs[0]      # the latency amortization is real
