@@ -133,11 +133,14 @@ def project_scaling(g: Graph, feat: int,
                         "efficiency": 1.0, "comm_bytes_per_hop": 0}
             continue
         crosses_hosts = s > CHIPS_PER_HOST
+        # the two-level plan needs whole hosts; odd chip counts fall
+        # back to the flat all_to_all ledger
+        use_hier = (crosses_hosts and hierarchical
+                    and s % CHIPS_PER_HOST == 0)
         spec = build_halo_spec(
             g, s, order=order, payload_dtype=payload_dtype,
             depth=depth, mode="coo",
-            chips_per_host=(CHIPS_PER_HOST if crosses_hosts
-                            and hierarchical else None))
+            chips_per_host=(CHIPS_PER_HOST if use_hier else None))
         per_row = (feat * spec.payload_itemsize()
                    + (4 if payload_dtype == "int8" else 0)) \
             if itemsize is None else feat * itemsize
@@ -149,7 +152,7 @@ def project_scaling(g: Graph, feat: int,
         if not crosses_hosts:
             comm_bytes = flat_bytes
             t_comm = comm_bytes / ICI_BYTES_PER_S + ICI_LATENCY_S
-        elif hierarchical:
+        elif use_hier:
             # read b_intra/b_cross from the spec's own two-level plan
             # (depth-consistent boundary sets)
             _, _, _, c, hosts, b_intra, b_cross = spec.hier
@@ -183,7 +186,7 @@ def project_scaling(g: Graph, feat: int,
             "boundary_b_max": spec.b_max,
             "depth": d,
         }
-        if crosses_hosts and hierarchical:
+        if crosses_hosts and use_hier:
             row["dcn_bytes_per_hop"] = int(dcn_bytes / d)
             row["b_cross_host"] = int(b_cross)
         out[str(s)] = row
