@@ -440,23 +440,15 @@ def section_headline() -> dict:
         # traffic family: banded, degree ~8 — METR-LA/PEMS shape): the
         # single-pass 32-chip exchange there is DCN-LATENCY-bound
         # (b_max ~ the band halfwidth, bytes tiny), so one collective
-        # per d hops amortizes the ~50us floor d-fold. On the
-        # geometric 100-nn graphs depth=1 stays best (the boundary is
-        # ~the whole shard — bench reports the honest per-depth pick).
-        from sgp_tpu.graph import Graph
-        nr, halfw = 52000, 4
-        srcs, dsts = [], []
-        for dd in range(1, halfw + 1):
-            ridx = np.arange(nr - dd)
-            srcs += [ridx, ridx + dd]
-            dsts += [ridx + dd, ridx]
-        g_road = Graph(np.concatenate(srcs).astype(np.int64),
-                       np.concatenate(dsts).astype(np.int64),
-                       np.ones(2 * sum(nr - dd for dd in
-                                       range(1, halfw + 1)),
-                               np.float32), nr)
+        # per d hops amortizes the ~50us floor d-fold. The sweep caps
+        # at depth 4 = the traffic encoders' K (a k-hop propagation
+        # can amortize at most k hops per exchange). On the geometric
+        # 100-nn graphs depth=1 stays best (the boundary is ~the whole
+        # shard — bench reports the honest per-depth pick).
+        from sgp_tpu.graph.sparse import band_graph
+        g_road = band_graph(52000, 4)
         best_eff, best_d = 0.0, 1
-        for dd in (1, 2, 4, 8):
+        for dd in (1, 2, 4):
             pr = project_scaling(g_road, 128, rate, n_chips_list=(32,),
                                  order="natural", depth=dd)
             eff = pr["32"]["efficiency"]

@@ -356,6 +356,22 @@ def dummy_graph(kind: str, num_nodes: int, edge_prob: float = 0.1,
                      np.ones(len(src), np.float32), num_nodes)
     raise ValueError(f"unknown dummy connectivity {kind!r}")
 
+
+def band_graph(num_nodes: int, halfwidth: int = 4) -> Graph:
+    """Banded line graph: node ``i`` connects to ``i±1..halfwidth``
+    (both directions, unit weights) — the road-network shape of the
+    traffic datasets (METR-LA/PEMS-BAY: low degree, 1-D locality).
+    Used by the deep-halo scaling projection and its tests."""
+    srcs, dsts = [], []
+    for d in range(1, halfwidth + 1):
+        idx = np.arange(num_nodes - d)
+        srcs += [idx, idx + d]
+        dsts += [idx + d, idx]
+    src = np.concatenate(srcs).astype(np.int64)
+    dst = np.concatenate(dsts).astype(np.int64)
+    return Graph(src, dst, np.ones(len(src), np.float32), num_nodes)
+
+
 def band_windows(dense_adj: np.ndarray, block: int,
                  width_mult: int = 128):
     """Per-row-block column windows of a (near-)banded adjacency

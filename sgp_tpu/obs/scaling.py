@@ -139,13 +139,15 @@ def project_scaling(g: Graph, feat: int,
                     and s % CHIPS_PER_HOST == 0)
         spec = build_halo_spec(
             g, s, order=order, payload_dtype=payload_dtype,
-            depth=depth, mode="coo",
+            depth=depth, mode="coo", host_only=True,
             chips_per_host=(CHIPS_PER_HOST if use_hier else None))
         per_row = (feat * spec.payload_itemsize()
                    + (4 if payload_dtype == "int8" else 0)) \
             if itemsize is None else feat * itemsize
         flat_bytes = s * spec.b_max * per_row
-        naive_bytes = s * spec.b_max * feat * 4   # r4 ledger: f32+flat
+        # r4 audit baseline: f32 + flat + per-hop exchange — uses the
+        # DEPTH-1 boundary so it stays the same yardstick at any depth
+        naive_bytes = s * spec.b_max_hop1 * feat * 4
         t_comp = (g.num_edges / s) / single_chip_edges_per_s
         # deep-halo in-buffer hops advance the halo rows too
         t_ext = spec.ext_edges_max() / single_chip_edges_per_s

@@ -97,31 +97,38 @@ class HaloSpec:
     # ``[local (Nl) | buffer (S*B)]`` state (esrc < Nl = local row).
     depth: int = 1
     ext: tuple = ()
+    # depth-1 boundary max (== b_max when depth == 1): the round-4
+    # naive-ledger baseline stays comparable across depths
+    b_max_hop1: int = None
 
     def dcn_bytes_per_hop(self, feat: int) -> int:
         """DCN bytes per device per hop under the two-level exchange
         (0 when no hier plan / single host): each boundary row crosses
-        DCN once per NEEDING HOST, padded to ``b_cross``."""
+        DCN once per NEEDING HOST, padded to ``b_cross``. For a deep
+        (depth-d) plan the exchange fires once per d hops — the value
+        is amortized accordingly."""
         if self.hier is None:
             return 0
         _, _, _, c, h, bi, bc = self.hier
         per_row = feat * self.payload_itemsize() + (
             4 if self.payload_dtype == "int8" else 0)
-        return int((h - 1) * bc * per_row)
+        return int((h - 1) * bc * per_row / max(1, self.depth))
 
     def payload_itemsize(self) -> float:
         return {"float32": 4, "bfloat16": 2, "int8": 1}[
             self.payload_dtype]
 
     def bytes_per_hop(self, feat: int, itemsize: int = None) -> int:
-        """Bytes exchanged per device per hop (send buffer size).
-        ``itemsize`` defaults to the plan's payload dtype; int8 adds
-        the per-row f32 scale."""
+        """Bytes exchanged per device per hop (send-buffer size,
+        amortized over the plan's ``depth`` — a deep plan exchanges its
+        widened boundary once per d hops). ``itemsize`` defaults to the
+        plan's payload dtype; int8 adds the per-row f32 scale."""
         if itemsize is None:
             itemsize = self.payload_itemsize()
         per_row = feat * itemsize + (4 if self.payload_dtype == "int8"
                                      and itemsize == 1 else 0)
-        return int(self.n_shards * self.b_max * per_row)
+        return int(self.n_shards * self.b_max * per_row
+                   / max(1, self.depth))
 
     def dense_gather_bytes(self, feat: int, itemsize: int = 4) -> int:
         """What the full-all-gather alternative would move per hop."""
@@ -148,7 +155,8 @@ def build_halo_spec(g: Graph, n_shards: int, dtype=jnp.float32,
                     mode: str = "auto", order: str = "natural",
                     payload_dtype: str = "float32",
                     chips_per_host: int = None,
-                    depth: int = 1) -> HaloSpec:
+                    depth: int = 1,
+                    host_only: bool = False) -> HaloSpec:
     """Partition ``g``'s nodes into ``n_shards`` contiguous blocks and
     precompute the boundary-exchange plan.
 
@@ -228,6 +236,7 @@ def build_halo_spec(g: Graph, n_shards: int, dtype=jnp.float32,
             nz = np.unique(block.col[block.data != 0])
             need[i][j] = nz
             counts[i, j] = len(nz)
+    b_max_hop1 = max(1, int(counts.max()))
     if depth > 1:
         # widen the boundary sets to the depth-hop in-neighborhood:
         # frontier closure over csr (rows = dst, cols = src), explicit
@@ -279,13 +288,17 @@ def build_halo_spec(g: Graph, n_shards: int, dtype=jnp.float32,
 
     local, halo = _pack_blocks(mode, row_blocks, halo_coo, s, nl, n,
                                b_max)
-    local = tuple(jnp.asarray(a, dtype if a.dtype == np.float32 else None)
+    # host_only: keep every plan array in host numpy — for ledger /
+    # projection math that never executes the plan (a device upload
+    # through the tunnel would waste ~MB/s bandwidth for nothing)
+    conv = (lambda a, d=None: a) if host_only else jnp.asarray
+    local = tuple(conv(a, dtype if a.dtype == np.float32 else None)
                   for a in local)
-    halo = tuple(jnp.asarray(a, dtype if a.dtype == np.float32 else None)
+    halo = tuple(conv(a, dtype if a.dtype == np.float32 else None)
                  for a in halo)
     ext = ()
     if depth > 1:
-        ext = _build_ext(csr, need, s, nl, n, b_max)
+        ext = _build_ext(csr, need, s, nl, n, b_max, conv)
     hier = None
     if chips_per_host is not None and s >= chips_per_host:
         # s == chips_per_host (single host) still builds a valid plan
@@ -295,12 +308,13 @@ def build_halo_spec(g: Graph, n_shards: int, dtype=jnp.float32,
             raise ValueError(
                 f"n_shards ({s}) must be a multiple of chips_per_host "
                 f"({chips_per_host}) for the two-level exchange")
-        hier = _build_hier(need, s, b_max, chips_per_host)
-    return HaloSpec(mode, local, halo, jnp.asarray(send_idx), s, nl, n,
-                    b_max, counts, payload_dtype, perm, hier, depth, ext)
+        hier = _build_hier(need, s, b_max, chips_per_host, conv)
+    return HaloSpec(mode, local, halo, conv(send_idx), s, nl, n,
+                    b_max, counts, payload_dtype, perm, hier, depth,
+                    ext, b_max_hop1)
 
 
-def _build_ext(csr, need, s, nl, n, b_max):
+def _build_ext(csr, need, s, nl, n, b_max, conv=None):
     """Halo-row advance block for the deep-halo plan: for every recv
     buffer slot (a node some shard needs), its row of ``A`` with
     columns remapped into the shard's ``[local | buffer]`` state.
@@ -351,13 +365,14 @@ def _build_ext(csr, need, s, nl, n, b_max):
     ew = np.zeros((s, ne), np.float32)
     for i, (c, r, v) in enumerate(per):
         esrc[i, :len(c)], edst[i, :len(c)], ew[i, :len(c)] = c, r, v
-    return (jnp.asarray(esrc), jnp.asarray(edst), jnp.asarray(ew))
+    conv = conv or jnp.asarray
+    return (conv(esrc), conv(edst), conv(ew))
 
 
-def _build_hier(need, s, b_max, chips_per_host):
+def _build_hier(need, s, b_max, chips_per_host, conv=None):
     """Two-level exchange plan from the per-pair boundary sets.
 
-    Layout contract (see ``_hier_halo_hop``): the device-local recv
+    Layout contract (see ``_hier_exchange``): the device-local recv
     buffer is ``concat([recv_intra [C, Bi], allcross [C, H, Bc]])``
     flattened along rows; ``assemble[i]`` maps every slot of the flat
     ``[S * b_max]`` recv layout (what ``_apply_halo``'s COO columns
@@ -402,8 +417,9 @@ def _build_hier(need, s, b_max, chips_per_host):
                 pos = c_per * b_intra + (cj * h_num + hj) * b_cross \
                     + np.searchsorted(u, nz)
             assemble[i, j * b_max:j * b_max + len(nz)] = pos
-    return (jnp.asarray(send_intra), jnp.asarray(send_cross),
-            jnp.asarray(assemble), c_per, h_num, b_intra, b_cross)
+    conv = conv or jnp.asarray
+    return (conv(send_intra), conv(send_cross),
+            conv(assemble), c_per, h_num, b_intra, b_cross)
 
 
 def _pack_blocks(mode, row_blocks, halo_coo, s, nl, n, b_max):

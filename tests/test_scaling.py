@@ -121,19 +121,10 @@ def test_project_scaling_depth_road_graph():
     and depth>1 (one collective per d hops) raises projected
     efficiency monotonically; on the dense-boundary 100-nn geometric
     graph depth=1 stays best (the in-buffer hops cost ~a full hop)."""
-    from sgp_tpu.graph.sparse import Graph
+    from sgp_tpu.graph.sparse import band_graph
     from sgp_tpu.obs.scaling import project_scaling
 
-    n, halfw = 52000, 4
-    srcs, dsts = [], []
-    for d in range(1, halfw + 1):
-        idx = np.arange(n - d)
-        srcs += [idx, idx + d]
-        dsts += [idx + d, idx]
-    g = Graph(np.concatenate(srcs).astype(np.int64),
-              np.concatenate(dsts).astype(np.int64),
-              np.ones(2 * sum(n - d for d in range(1, halfw + 1)),
-                      np.float32), n)
+    g = band_graph(52000, 4)
     rate = 9.0e8
     effs = []
     for depth in (1, 2, 4):
