@@ -459,6 +459,13 @@ def section_headline() -> dict:
                 best_eff, best_d = eff, dd
         out["scaling_proj_32chips_efficiency_road"] = round(best_eff, 3)
         out["scaling_proj_32chips_road_depth_best"] = best_d
+        # same projection at truescale (131k nodes): the regime the
+        # ≥0.8 host->pod north star targets
+        pr = project_scaling(band_graph(131072, 4), 128, rate,
+                             n_chips_list=(32,), order="natural",
+                             depth=4)
+        out["scaling_proj_32chips_efficiency_road131k"] = round(
+            pr["32"]["efficiency"], 3)
     except Exception as e:   # projection must never sink the headline
         out["scaling_proj_error"] = str(e)[:100]
 
