@@ -55,6 +55,7 @@ def build_subgraph_forward(args, ds, u_size):
         # subgraph batches always carry their own edge list
         agg = getattr(args, "gn_aggregation", "edges")
         static = {}
+        gn_band = None
         if agg == "ell":
             from sgp_tpu.graph.sparse import padded_incoming
             si, nm = padded_incoming(ds.graph)
@@ -63,8 +64,16 @@ def build_subgraph_forward(args, ds, u_size):
             # scattered ON DEVICE from the edge list — uploading a
             # host-densified [N, N] would move ~165 MB through the
             # ~MB/s tunnel at Table-2 scale
+            from sgp_tpu.graph.sparse import auto_band
             from sgp_tpu.ops.spmm import dense_adj_mask
             static["gn_adj"] = dense_adj_mask(ds.graph)
+            # band-limited sweep when the natural node labeling is
+            # localized (variable-width windows measured +45-51% on
+            # the Table-2 full rows); None = full N^2 sweep
+            gn_band = auto_band(ds.graph)
+            if gn_band is not None:
+                logger.info("gn dense aggregation: band-limited sweep"
+                            f" (max window {max(gn_band[1])})")
         else:
             static["gn_src"] = jnp.asarray(ds.graph.src.astype(np.int32))
             static["gn_dst"] = jnp.asarray(ds.graph.dst.astype(np.int32))
@@ -80,6 +89,8 @@ def build_subgraph_forward(args, ds, u_size):
             gn = {}
             if "gn_adj" in batch:
                 gn["adj"] = batch["gn_adj"]
+                if gn_band is not None:   # trace-time window table
+                    gn["adj_band"] = gn_band
             elif "gn_neigh" in batch:
                 gn["neigh"] = batch["gn_neigh"]
             elif "gn_src" in batch:

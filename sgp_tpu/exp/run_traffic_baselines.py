@@ -197,6 +197,7 @@ def build_model_and_forward(args, ds, u_size):
                     compute_dtype=getattr(args, "compute_dtype", None))
         agg = getattr(args, "gn_aggregation", "edges")
         static = {}
+        gn_band = None
         if args.full_graph:
             if agg == "ell":
                 import warnings
@@ -212,8 +213,12 @@ def build_model_and_forward(args, ds, u_size):
             si, nm = padded_incoming(g)
             static["gn_neigh"] = (jnp.asarray(si), jnp.asarray(nm))
         elif agg == "dense":
+            from sgp_tpu.graph.sparse import auto_band
             from sgp_tpu.ops.spmm import dense_adj_mask
             static["gn_adj"] = dense_adj_mask(g)   # device scatter
+            # band-limited sweep when the natural node labeling is
+            # localized (road networks usually are); None = full N^2
+            gn_band = auto_band(g)
         else:
             static["gn_src"] = jnp.asarray(g.src.astype(np.int32))
             static["gn_dst"] = jnp.asarray(g.dst.astype(np.int32))
@@ -222,6 +227,8 @@ def build_model_and_forward(args, ds, u_size):
             gn = {}
             if "gn_adj" in batch:
                 gn["adj"] = batch["gn_adj"]
+                if gn_band is not None:   # trace-time window table
+                    gn["adj_band"] = gn_band
             elif "gn_neigh" in batch:
                 gn["neigh"] = batch["gn_neigh"]
             elif "gn_src" in batch:

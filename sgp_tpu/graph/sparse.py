@@ -411,6 +411,32 @@ def band_windows(dense_adj: np.ndarray, block: int,
                 for (lo, _), w in zip(bounds, widths))
     return block, widths, los
 
+def auto_band(g: Graph, block: int = 256, width_mult: int = 128,
+              max_nodes: int = 20000, max_frac: float = 0.6):
+    """Variable-width band windows of ``g`` in its NATURAL node order,
+    or ``None`` when they would not pay: the candidate-pair count of
+    the windowed sweep must be under ``max_frac`` of the full ``N^2``
+    (road-network labelings are usually localized enough; a shuffled
+    labeling falls back to the full sweep). Used by the baseline
+    runners' ``--gn-aggregation dense`` path — the bench variant
+    additionally RCM-relabels first (``rcm_order``), which a dataset
+    runner cannot do without permuting every array."""
+    n = g.num_nodes
+    if n > max_nodes:          # host [N, N] bool build guard
+        return None
+    a = np.zeros((n, n), bool)
+    if g.weight is not None:
+        keep = np.asarray(g.weight) != 0   # stored zeros ≠ edges
+        a[np.asarray(g.dst)[keep], np.asarray(g.src)[keep]] = True
+    else:
+        a[g.dst, g.src] = True
+    band = band_windows(a, block, width_mult, uniform=False)
+    blk, widths, _ = band
+    if sum(widths) * blk >= max_frac * n * n:
+        return None
+    return band
+
+
 def morton_order(pos: np.ndarray, bits: int = 16) -> np.ndarray:
     """Z-order (Morton) node permutation from 2-D positions: nodes
     sorted by interleaved coordinate bits, so CONTIGUOUS index blocks

@@ -164,3 +164,27 @@ def test_rcm_reordering_reduces_blocks(rng):
     inv = np.empty_like(perm)
     inv[perm] = np.arange(n)
     np.testing.assert_allclose(out_p[inv], out, atol=1e-4)
+
+
+def test_auto_band_localized_vs_shuffled():
+    """auto_band returns variable-width windows for a banded (road)
+    labeling and None for a shuffled one (no locality to exploit) or
+    past the host-densify node guard."""
+    from sgp_tpu.graph.sparse import auto_band, band_graph
+
+    g = band_graph(2000, 4)
+    band = auto_band(g, block=128)
+    assert band is not None and isinstance(band[1], tuple)
+    assert max(band[1]) < 2000 / 2
+    # shuffled labels: same graph, no band structure
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(2000)
+    from sgp_tpu.graph.sparse import Graph
+    g2 = Graph(perm[g.src], perm[g.dst], g.weight, 2000)
+    assert auto_band(g2, block=128) is None
+    assert auto_band(g, max_nodes=100) is None
+    # stored zero weights are structure, not edges
+    w = np.zeros(g.num_edges, np.float32)
+    g3 = Graph(g.src, g.dst, w, 2000)
+    b3 = auto_band(g3, block=128)
+    assert b3 is not None and max(b3[1]) == 128   # empty windows
